@@ -1,0 +1,18 @@
+"""hgr_tpu — a TPU-native framework for large-scale hierarchical zero-shot
+image classification.
+
+A from-scratch JAX/XLA/Pallas/pjit rebuild of the capabilities of
+WilliamYi96/HGR-Net (ECCV 2022): CLIP RN50/ViT encoders, WordNet-hierarchy-aware
+"OM" contrastive fine-tuning, and 18,278-way zero-shot evaluation with flat
+Hit@k and hierarchical TOR/POR/path metrics, designed TPU-first:
+
+- functional core: pure ``init``/``apply`` functions over parameter pytrees
+- one 2-D device mesh ``(data, model)``; the class-embedding bank and the
+  [B, 18278] logit matmul shard over ``model``, images over ``data``
+- static shapes + padding/masking everywhere so XLA tiles onto the MXU
+- Pallas kernels for the hot ops (fused attention, bank gather-reduce)
+- bf16 compute with fp32 master params and optimizer state (replacing the
+  reference's manual fp16<->fp32 swap dance, reference utils.py:98-123)
+"""
+
+__version__ = "0.1.0"

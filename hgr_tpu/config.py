@@ -1,0 +1,124 @@
+"""Single dataclass config with CLI overrides.
+
+Preserves the reference's flag names, defaults, and semantics
+(``main.py:14-70``) while replacing per-entry-point argparse sprawl with one
+typed config. Extra TPU-native knobs (mesh shape, dtype, pallas toggles) live
+in their own section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields
+from typing import List, Optional, Tuple
+
+
+def _parse_bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected bool, got {v!r}")
+
+
+@dataclass
+class Config:
+    # experiment (reference main.py:16-21)
+    exp_name: str = "HGR"
+    folder: str = "adaptive"
+    print_freq: int = 1000
+    debug: bool = False
+    test_after_train: bool = False
+
+    # model (main.py:24)
+    arch: str = "RN50"
+
+    # imagenet split selection (main.py:27-31)
+    template: str = "TEMPLATES_SIMPLE"  # reference declared TEMPLATES_STANDARD but
+    # hard-coded TEMPLATES_SIMPLE in the model (clip_tree.py:52); here the flag
+    # is honoured, defaulting to the behaviour the reference actually had.
+    model_train: str = "all"
+    model_test: str = "rest"
+    data_train: str = "train"
+    data_test: str = "rest"
+
+    # data (main.py:34-43)
+    graph_path: str = "data/process_results/graph_edges_cls.json"
+    split_path: str = "data/process_results/splits_for_tree.json"
+    num_workers: int = 12
+    batch_size: int = 256
+    test_batch_size: int = 512
+    k_shots: int = -1
+    serial_batches: bool = True
+    n_episodes: int = -1
+    data_split_train: str = "train"
+    data_split_test: str = "zsl_test"
+    image_root: str = ""  # prefix joined to manifest-relative image paths
+
+    # train (main.py:46-62)
+    open_eval: bool = True
+    train: bool = True
+    lr: float = 3e-7
+    w_lr: float = 1e-4
+    epochs: int = 10
+    wd: float = 0.0
+    warmup_length: int = 0
+    num_compare: int = 256
+    weights: str = "adaptive"  # equal|increasing|decreasing|adaptive|nl_increasing|nl_decreasing
+    training_method: str = "OM"  # flat|hierarchical|OM
+    sample_strategy: str = "topk"  # random|simi|topk|near_simi|brothers
+    k: int = 1
+    out_ratio: float = 0.25
+    in_ratio: float = 0.5
+    weighting: str = "both"  # in|out|both
+    scale: float = 1.0
+    grad_clip: float = 1.0
+    seed: int = 0
+
+    # resume (main.py:65-69)
+    fetch: bool = False
+    fetch_path: str = ""
+    load: bool = False
+    load_path: str = "none"
+    from_epoch: int = -1
+
+    # ---- TPU-native additions -------------------------------------------
+    mesh_data: int = -1   # -1: all devices on the data axis
+    mesh_model: int = 1   # shards of the class bank / logits
+    dtype: str = "bfloat16"        # activation/compute dtype
+    param_dtype: str = "float32"   # master params + optimizer state
+    use_pallas: bool = True        # pallas kernels where profitable (TPU only)
+    vocab_path: str = ""           # BPE merges file; "" = default search paths
+    names_path: str = ""           # wnid -> class-name JSON (WordNet offline export)
+    donate: bool = True
+
+    @property
+    def save_path(self) -> str:
+        """Reference path convention ``{folder}/{exp_name}/{weights}_{out}_{in}/``
+        (``model/clip_tree.py:24``)."""
+        return f"{self.folder}/{self.exp_name}/{self.weights}_{self.out_ratio}_{self.in_ratio}"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_args(cls, argv: Optional[List[str]] = None) -> "Config":
+        parser = argparse.ArgumentParser(description="HGR (TPU)")
+        for f in fields(cls):
+            if f.type == "bool" or isinstance(f.default, bool):
+                parser.add_argument(
+                    f"--{f.name}", type=_parse_bool, default=f.default
+                )
+            else:
+                parser.add_argument(
+                    f"--{f.name}", type=type(f.default), default=f.default
+                )
+        ns = parser.parse_args(argv)
+        return cls(**vars(ns))

@@ -1,0 +1,22 @@
+from .tree import Hierarchy, synthetic_hierarchy, ROOT, PAD
+from .builder import (
+    edges_from_structure_xml,
+    edges_from_wordnet,
+    contract_graph,
+    filter_splits,
+    hops_splits,
+    save_edges,
+)
+
+__all__ = [
+    "Hierarchy",
+    "synthetic_hierarchy",
+    "ROOT",
+    "PAD",
+    "edges_from_structure_xml",
+    "edges_from_wordnet",
+    "contract_graph",
+    "filter_splits",
+    "hops_splits",
+    "save_edges",
+]

@@ -1,0 +1,30 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the standard substitute for a fake multi-chip backend: all sharding /
+collective tests run against 8 virtual CPU devices
+(``--xla_force_host_platform_device_count=8``).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_hierarchy():
+    from hgr_tpu.hierarchy import synthetic_hierarchy
+
+    return synthetic_hierarchy(branching=3, levels=4, extra_edges=5, seed=0)
