@@ -7,12 +7,21 @@ collective tests run against 8 virtual CPU devices
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env points at a TPU: tests must be
+# deterministic and runnable anywhere (fp32 on CPU; the real chip is for
+# bench.py only). The env var alone is not enough when a site hook
+# pre-registers a TPU backend, so also update jax.config before any
+# backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

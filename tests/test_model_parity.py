@@ -1,0 +1,114 @@
+"""Numerical parity of the JAX encoders vs the reference torch CLIP.
+
+Builds the reference's torch model (executed as an oracle from
+``/root/reference/clip/model.py`` — not copied), randomly initializes it,
+converts its state_dict with ``hgr_tpu.models.convert``, and checks that
+encode_image / encode_text agree in fp32 to tight tolerance. Skips when the
+reference checkout or torch is unavailable.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from hgr_tpu.models import clip as jclip  # noqa: E402
+from hgr_tpu.models.convert import convert_state_dict, sniff_config  # noqa: E402
+
+REF = "/root/reference/clip/model.py"
+
+
+def _ref_clip_module():
+    if not os.path.exists(REF):
+        pytest.skip("reference checkout not available")
+    torch = pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location("ref_clip_model", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod, torch
+
+
+def _build_pair(arch):
+    mod, torch = _ref_clip_module()
+    cfg = jclip.get_config(arch)
+    vision_layers = (
+        cfg.vision_layers[0] if cfg.is_vit else tuple(cfg.vision_layers)
+    )
+    torch.manual_seed(0)
+    ref = mod.CLIP(
+        cfg.embed_dim,
+        cfg.image_resolution,
+        vision_layers,
+        cfg.vision_width,
+        cfg.vision_patch_size if cfg.is_vit else None,
+        cfg.context_length,
+        cfg.vocab_size,
+        cfg.transformer_width,
+        cfg.transformer_heads,
+        cfg.transformer_layers,
+    ).float().eval()
+    sd = ref.state_dict()
+    params = convert_state_dict(sd, cfg)
+    return ref, cfg, params, torch
+
+
+@pytest.mark.parametrize("arch", ["TEST-RN", "TEST-ViT"])
+def test_encode_image_parity(arch):
+    ref, cfg, params, torch = _build_pair(arch)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, cfg.image_resolution, cfg.image_resolution, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_out = ref.encode_image(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(
+        jclip.encode_image(params, cfg, jnp.asarray(x), dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("arch", ["TEST-RN"])
+def test_encode_text_parity(arch):
+    ref, cfg, params, torch = _build_pair(arch)
+    rng = np.random.default_rng(1)
+    tokens = np.zeros((3, cfg.context_length), dtype=np.int64)
+    for i in range(3):
+        n = int(rng.integers(3, 20))
+        tokens[i, 0] = cfg.vocab_size - 2  # SOT-like
+        tokens[i, 1 : n + 1] = rng.integers(1, cfg.vocab_size - 2, n)
+        tokens[i, n + 1] = cfg.vocab_size - 1  # EOT = highest id
+    with torch.no_grad():
+        ref_out = ref.encode_text(torch.from_numpy(tokens)).numpy()
+    out = np.asarray(
+        jclip.encode_text(
+            params, cfg, jnp.asarray(tokens, jnp.int32), dtype=jnp.float32
+        )
+    )
+    np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-4)
+
+
+def test_sniff_config_roundtrip():
+    for arch in ["TEST-RN", "TEST-ViT"]:
+        ref, cfg, _, _ = _build_pair(arch)
+        sniffed = sniff_config(ref.state_dict())
+        assert sniffed.embed_dim == cfg.embed_dim
+        assert sniffed.is_vit == cfg.is_vit
+        assert tuple(sniffed.vision_layers) == tuple(cfg.vision_layers)
+        assert sniffed.vision_width == cfg.vision_width
+        assert sniffed.image_resolution == cfg.image_resolution
+        assert sniffed.transformer_layers == cfg.transformer_layers
+
+
+def test_cosine_logits_range_and_scale():
+    a = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)), jnp.float32)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal((6, 8)), jnp.float32)
+    logits = jclip.cosine_logits(a, b)
+    assert logits.shape == (4, 6)
+    assert float(jnp.abs(logits).max()) <= 1.0 + 1e-5
+    scaled = jclip.cosine_logits(a, b, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(scaled), np.asarray(logits), rtol=1e-6)
