@@ -1,0 +1,169 @@
+"""Hierarchical zero-shot metrics, vectorized and jit-compatible.
+
+Exact behavioural equivalents of the reference's eval loop
+(``main.py:136-191``), restructured from per-level Python loops + host
+round-trips into masked argmax/top-k over static-shape arrays:
+
+- flat Hit@{1,2,5,10,20} over the unseen (test) class subset
+  (``main.py:136-148``) — here a single masked ``lax.top_k`` instead of
+  gather-subset-then-map-back
+- TOR / "hit_ratio": top-1 over candidate (train) classes landing in
+  {target union its ancestors} (``main.py:152-160``)
+- POR / "point_ratio" and "path_ratio": per-ancestor-level constrained
+  argmax (the reference's ``index_fill(-1)`` per level, ``main.py:162-176``)
+  -> predicted path; node-overlap and edge-overlap with the ground-truth
+  root-path (``main.py:177-191``) — here one ``lax.scan`` over the padded
+  chain with depth-equality masks instead of ``d2n`` list surgery.
+
+All functions assume the grouped-loader invariant (every image in the batch
+shares one target class — reference ``main.py:152`` uses ``targets[0]``),
+take logits for the FULL node set [B, N], and return partial sums that an
+outer loop (or a ``psum`` across data shards) accumulates.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e9  # stands in for the reference's index_fill(-1) on cosine logits
+TOPK: Tuple[int, ...] = (1, 2, 5, 10, 20)
+
+
+class BatchMetrics(NamedTuple):
+    """Partial sums for one single-class batch (all fp32 scalars except hits)."""
+
+    hits: jnp.ndarray        # [len(TOPK)] counts of target-in-top-k
+    tor: jnp.ndarray         # count of top-1-in-{target u ancestors}
+    path: jnp.ndarray        # path_ratio numerator contribution
+    point: jnp.ndarray       # point_ratio numerator contribution
+    num: jnp.ndarray         # number of samples in the batch
+
+
+def flat_hits(
+    logits: jnp.ndarray,       # [B, N] full-node logits
+    target: jnp.ndarray,       # scalar int32 (single-class batch)
+    test_mask: jnp.ndarray,    # [N] bool: unseen/test candidate classes
+    topk: Sequence[int] = TOPK,
+    valid: Optional[jnp.ndarray] = None,  # [B] bool row mask (padded batches)
+) -> jnp.ndarray:
+    """Counts of "target in top-k over the test subset" for each k."""
+    maxk = max(topk)
+    masked = jnp.where(test_mask[None, :], logits, NEG)
+    _, pred = jax.lax.top_k(masked, maxk)            # [B, maxk] global ids
+    correct = pred == target                          # [B, maxk]
+    if valid is not None:
+        correct = correct & valid[:, None]
+    csum = jnp.cumsum(correct, axis=1)                # [B, maxk]
+    ks = jnp.asarray([k - 1 for k in topk])
+    return csum[:, ks].sum(axis=0).astype(jnp.float32)  # [len(topk)]
+
+
+def tor_hits(
+    logits: jnp.ndarray,       # [B, N]
+    chain: jnp.ndarray,        # [L] padded chain (ancestors + self), PAD=-1
+    train_mask: jnp.ndarray,   # [N] bool: candidate classes for top-1
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Top-Overlap Ratio numerator: top-1 over candidates in the chain set."""
+    masked = jnp.where(train_mask[None, :], logits, NEG)
+    pred = jnp.argmax(masked, axis=1)                 # [B]
+    in_chain = (pred[:, None] == chain[None, :]) & (chain[None, :] >= 0)
+    hit = in_chain.any(axis=1)
+    if valid is not None:
+        hit = hit & valid
+    return hit.sum().astype(jnp.float32)
+
+
+def path_point(
+    logits: jnp.ndarray,       # [B, N]
+    chain: jnp.ndarray,        # [Lmax] padded (ancestors + self)
+    chain_len: jnp.ndarray,    # scalar int32, actual length L >= 1
+    node_depth: jnp.ndarray,   # [N] int32 depth per node
+    train_mask: jnp.ndarray,   # [N] bool
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(path numerator, point numerator) for one batch.
+
+    For each chain position j the predicted node is the constrained argmax
+    over {candidates at depth(chain[j])}; overlap with the gt chain gives
+    point (node matches / L) and path (edge matches / (L-1), or the top-node
+    match when L == 1), exactly as ``main.py:162-191``.
+    """
+    B = logits.shape[0]
+    Lmax = chain.shape[0]
+    levels = jnp.where(chain >= 0, node_depth[jnp.clip(chain, 0)], -1)  # [Lmax]
+
+    def one_level(carry, j):
+        level = levels[j]
+        mask = (node_depth == level) & train_mask
+        masked = jnp.where(mask[None, :], logits, NEG)
+        pred = jnp.argmax(masked, axis=1)             # [B]
+        return carry, pred
+
+    _, preds = jax.lax.scan(one_level, None, jnp.arange(Lmax))  # [Lmax, B]
+    preds = preds.T                                    # [B, Lmax]
+
+    pos_valid = jnp.arange(Lmax)[None, :] < chain_len  # [1, Lmax]
+    match = (preds == chain[None, :]) & pos_valid      # [B, Lmax]
+    if valid is not None:
+        match = match & valid[:, None]
+
+    L = chain_len.astype(jnp.float32)
+    point_rows = match.sum(axis=1).astype(jnp.float32) / L          # [B]
+    point = point_rows.sum()
+
+    edge_pair = match[:, :-1] & match[:, 1:]           # [B, Lmax-1]
+    pair_valid = (jnp.arange(Lmax - 1)[None, :] + 1) < chain_len
+    edges = (edge_pair & pair_valid).sum().astype(jnp.float32)
+
+    path_single = match[:, 0].sum().astype(jnp.float32)  # L == 1 case
+    path = jnp.where(chain_len == 1, path_single, edges / jnp.maximum(L - 1.0, 1.0))
+    return path, point
+
+
+def batch_metrics(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    chain: jnp.ndarray,
+    chain_len: jnp.ndarray,
+    node_depth: jnp.ndarray,
+    train_mask: jnp.ndarray,
+    test_mask: jnp.ndarray,
+    topk: Sequence[int] = TOPK,
+    valid: Optional[jnp.ndarray] = None,  # [B] bool row mask for padded batches
+) -> BatchMetrics:
+    hits = flat_hits(logits, target, test_mask, topk, valid=valid)
+    tor = tor_hits(logits, chain, train_mask, valid=valid)
+    path, point = path_point(
+        logits, chain, chain_len, node_depth, train_mask, valid=valid
+    )
+    if valid is None:
+        num = jnp.asarray(logits.shape[0], jnp.float32)
+    else:
+        num = valid.sum().astype(jnp.float32)
+    return BatchMetrics(hits=hits, tor=tor, path=path, point=point, num=num)
+
+
+def accumulate(a: BatchMetrics, b: BatchMetrics) -> BatchMetrics:
+    return BatchMetrics(*(x + y for x, y in zip(a, b)))
+
+
+def zeros_metrics(n_topk: int = len(TOPK)) -> BatchMetrics:
+    z = jnp.zeros((), jnp.float32)
+    return BatchMetrics(hits=jnp.zeros((n_topk,), jnp.float32), tor=z, path=z, point=z, num=z)
+
+
+def summarize(m: BatchMetrics, topk: Sequence[int] = TOPK) -> Dict[str, float]:
+    """Final percentages, reference naming (``count_acc`` + ratio lines,
+    ``main.py:193-216``)."""
+    num = float(m.num)
+    out = {f"hit@{k}": float(h) / num * 100.0 for k, h in zip(topk, np.asarray(m.hits))}
+    out["tor"] = float(m.tor) / num * 100.0
+    out["path_ratio"] = float(m.path) / num * 100.0
+    out["point_ratio"] = float(m.point) / num * 100.0
+    out["num_samples"] = num
+    return out

@@ -1,0 +1,106 @@
+"""Train step assembly: optimizers, grad clipping, jitted update.
+
+Mirrors the reference driver's optimizer setup (``main.py:246-253``):
+
+- AdamW(lr, wd) over every CLIP parameter (full fine-tune)
+- a separate SGD(w_lr) over the adaptive ``layer_weight``
+- global-norm grad clip 1.0 over the CLIP params ONLY, not layer_weight
+  (``main.py:87-88``)
+- cosine schedule with warmup (``utils.py:82-95``)
+
+TPU-native differences: bf16 compute with fp32 master params + fp32 optimizer
+state replaces the reference's fp16<->fp32 swap dance around every step
+(``utils.py:98-123``, ``main.py:90-94``); the whole update is one jitted,
+donated function; batch is sharded over the ``data`` mesh axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.clip import CLIPConfig
+from .om import make_om_loss_fn
+from .schedule import cosine_lr
+from .sampling import PairSchedule
+
+
+class TrainState(NamedTuple):
+    params: Any          # {"clip": ..., "layer_weight": ...}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(config: Config, total_steps: int) -> optax.GradientTransformation:
+    schedule = cosine_lr(config.lr, config.warmup_length, total_steps)
+    clip_tx = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adamw(learning_rate=schedule, weight_decay=config.wd),
+    )
+    lw_tx = optax.sgd(learning_rate=config.w_lr)
+    return optax.multi_transform(
+        {"clip": clip_tx, "lw": lw_tx},
+        param_labels={"clip": "clip", "layer_weight": "lw"},
+    )
+
+
+def sched_to_device(s: PairSchedule) -> Dict[str, jnp.ndarray]:
+    return {
+        "compare": jnp.asarray(s.compare),
+        "compare_valid": jnp.asarray(s.compare_valid),
+        "label": jnp.asarray(s.label),
+        "in_pos": jnp.asarray(s.in_pos),
+        "in_len": jnp.asarray(s.in_len),
+        "out_pos": jnp.asarray(s.out_pos),
+        "out_len": jnp.asarray(s.out_len),
+        "pair_valid": jnp.asarray(s.pair_valid),
+        "unique": jnp.asarray(s.unique),
+        "inv": jnp.asarray(s.inv),
+    }
+
+
+def make_train_step(
+    config: Config,
+    clip_cfg: CLIPConfig,
+    tx: optax.GradientTransformation,
+    dtype=jnp.bfloat16,
+    donate: bool = True,
+) -> Callable:
+    """-> jitted ``step(state, images, node_tokens, sched) -> (state, loss)``."""
+    loss_fn = make_om_loss_fn(
+        clip_cfg,
+        dtype,
+        config.training_method,
+        config.weights,
+        config.weighting,
+        remat=False,
+    )
+
+    def step(state: TrainState, images, node_tokens, sched):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, images, node_tokens, sched
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(
+    clip_params: Any,
+    layer_weight: jnp.ndarray,
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    params = {"clip": clip_params, "layer_weight": layer_weight}
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )

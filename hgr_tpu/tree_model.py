@@ -1,0 +1,248 @@
+"""TreeModel — the flagship hierarchy-aware CLIP model bundle.
+
+Functional counterpart of the reference's ``tree_model``
+(``model/clip_tree.py:19-333``): owns the CLIP config + the hierarchy tables
+(as padded device arrays) + the tokenized per-node prompts, and exposes pure
+jitted functions for the classifier bank, eval forward, and metric steps.
+Parameters live OUTSIDE the object as a pytree (``self.params`` is just a
+convenience slot), so every step function is jit/pjit-friendly.
+
+Node prompts: WordNet synset head-name into the configured template bank's
+first entry — the reference hard-codes ``TEMPLATES_SIMPLE[0]`` and ignores its
+``--template`` flag (``model/clip_tree.py:52`` vs ``main.py:27``); here the
+flag is honoured and defaults to the same simple template. Names come from a
+wnid->name JSON (exported offline via ``tools/export_wordnet_names.py`` when
+NLTK WordNet is available) with the wnid itself as fallback.
+
+The adaptive per-depth loss weight (``layer_weight``) is a real trainable
+leaf here. In the reference, ``nn.Parameter(weights)*scale`` creates a
+non-leaf tensor that never receives gradients and is invisible to
+``named_parameters`` (``model/clip_tree.py:74``), so the separate SGD
+(``main.py:248-249``) silently never updates it; this rebuild fixes that
+while keeping the init ``1/|layer d| * scale``.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .eval.bank import bank_logits, build_bank, pad_to, pad_tokens
+from .eval.metrics import BatchMetrics, batch_metrics
+from .hierarchy import Hierarchy
+from .models import clip as clip_mod
+from .models.clip import CLIPConfig, clip_init, encode_image, encode_text
+from .text import Tokenizer, get_bank
+
+PAD = -1
+
+
+def node_prompts(
+    hier: Hierarchy,
+    template: str,
+    names: Optional[Dict[str, str]] = None,
+) -> list[str]:
+    """Per-node prompt strings (reference ``model/clip_tree.py:52-60``)."""
+    tpl = get_bank(template)[0]
+    out = []
+    for wnid in hier.names:
+        name = (names or {}).get(wnid, wnid)
+        out.append(tpl.format(name))
+    return out
+
+
+def synthetic_tokens(n: int, context_length: int, vocab_size: int, seed: int = 0) -> np.ndarray:
+    """Deterministic pseudo-prompts for synthetic benchmarks/tests (no BPE
+    vocab asset needed): SOT + a few class-specific ids + EOT."""
+    rng = np.random.default_rng(seed)
+    toks = np.zeros((n, context_length), np.int32)
+    toks[:, 0] = vocab_size - 2
+    body = rng.integers(1, vocab_size - 2, size=(n, 6))
+    toks[:, 1:7] = body
+    toks[:, 7] = vocab_size - 1
+    return toks
+
+
+@dataclass
+class TreeModel:
+    config: Config
+    clip_cfg: CLIPConfig
+    hier: Hierarchy
+    n_pad: int
+    node_tokens: np.ndarray      # [N_pad, T] int32
+    node_depth: np.ndarray       # [N_pad] int32, PAD rows = -1
+    chains: np.ndarray           # [N, Lmax] chain_with_self, PAD-filled
+    chain_len: np.ndarray        # [N] int32
+    train_index: np.ndarray      # ids of candidate classes (reference 'all')
+    test_index: np.ndarray       # ids of unseen classes (reference 'rest')
+    train_mask: np.ndarray       # [N_pad] bool
+    test_mask: np.ndarray        # [N_pad] bool
+    params: Any = None           # CLIP param pytree (+ logit_scale)
+    layer_weight: Any = None     # [n_levels] adaptive per-depth weight
+
+    # ---- construction ----------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        config: Config,
+        hier: Hierarchy,
+        candidates_train: Optional[list[str]] = None,
+        candidates_test: Optional[list[str]] = None,
+        tokenizer: Optional[Tokenizer] = None,
+        names: Optional[Dict[str, str]] = None,
+        pad_multiple: int = 1024,
+        seed: int = 0,
+    ) -> "TreeModel":
+        clip_cfg = clip_mod.get_config(config.arch)
+        n = hier.num_nodes
+        n_pad = pad_to(n, pad_multiple)
+
+        if tokenizer is not None:
+            prompts = node_prompts(hier, config.template, names)
+            tokens = tokenizer.tokenize(prompts, clip_cfg.context_length)
+        else:
+            tokens = synthetic_tokens(
+                n, clip_cfg.context_length, clip_cfg.vocab_size, seed
+            )
+        tokens = pad_tokens(tokens, n_pad)
+
+        depth = np.full(n_pad, PAD, np.int32)
+        depth[:n] = hier.depth
+
+        lmax = hier.max_chain + 1
+        chains = np.full((n, lmax), PAD, np.int32)
+        chain_len = np.zeros(n, np.int32)
+        for i in range(n):
+            c = hier.chain_with_self(i)
+            chains[i, : len(c)] = c
+            chain_len[i] = len(c)
+
+        train_ids = (
+            hier.ids(candidates_train) if candidates_train is not None
+            else np.arange(n, dtype=np.int32)
+        )
+        test_ids = (
+            hier.ids(candidates_test) if candidates_test is not None
+            else np.arange(n, dtype=np.int32)
+        )
+        train_mask = np.zeros(n_pad, bool)
+        train_mask[train_ids] = True
+        test_mask = np.zeros(n_pad, bool)
+        test_mask[test_ids] = True
+
+        n_levels = hier.max_depth + 1
+        level_sizes = hier.level_sizes.astype(np.float32)
+        layer_weight = (1.0 / level_sizes) * config.scale  # clip_tree.py:70-74
+
+        return cls(
+            config=config,
+            clip_cfg=clip_cfg,
+            hier=hier,
+            n_pad=n_pad,
+            node_tokens=tokens,
+            node_depth=depth,
+            chains=chains,
+            chain_len=chain_len,
+            train_index=train_ids,
+            test_index=test_ids,
+            train_mask=train_mask,
+            test_mask=test_mask,
+            layer_weight=jnp.asarray(layer_weight, jnp.float32),
+        )
+
+    # ---- params ----------------------------------------------------------
+    def init_params(self, seed: int = 0):
+        self.params = clip_init(jax.random.PRNGKey(seed), self.clip_cfg)
+        return self.params
+
+    def load_torch(self, path: str):
+        from .models.convert import load_torch_checkpoint
+
+        cfg, params = load_torch_checkpoint(path)
+        self.clip_cfg = cfg
+        self.params = params
+        return params
+
+    # ---- jitted compute --------------------------------------------------
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+
+    def encode_image_fn(self, params, images):
+        return encode_image(params, self.clip_cfg, images, dtype=self.dtype)
+
+    def encode_text_fn(self, params, tokens):
+        return encode_text(params, self.clip_cfg, tokens, dtype=self.dtype)
+
+    @functools.cached_property
+    def _update_classifier(self) -> Callable:
+        def fn(params, tokens):
+            return build_bank(
+                params,
+                tokens,
+                self.encode_text_fn,
+                chunk=min(512, self.n_pad),
+                out_dtype=self.dtype,
+            )
+
+        return jax.jit(fn)
+
+    def update_classifier(self, params=None) -> jnp.ndarray:
+        """Encode all node prompts -> normalized [N_pad, D] bank
+        (reference ``update_classifier``, ``model/clip_tree.py:318-325``)."""
+        params = self.params if params is None else params
+        return self._update_classifier(params, jnp.asarray(self.node_tokens))
+
+    @functools.cached_property
+    def _forward(self) -> Callable:
+        def fn(params, bank, images):
+            feats = self.encode_image_fn(params, images)
+            return bank_logits(feats, bank)
+
+        return jax.jit(fn)
+
+    def forward(self, params, bank, images) -> jnp.ndarray:
+        """Raw cosine logits [B, N_pad] (reference ``forward``,
+        ``model/clip_tree.py:328-332``)."""
+        return self._forward(params, bank, images)
+
+    @functools.cached_property
+    def _eval_step(self) -> Callable:
+        node_depth = jnp.asarray(self.node_depth)
+        train_mask = jnp.asarray(self.train_mask)
+        test_mask = jnp.asarray(self.test_mask)
+
+        def fn(params, bank, images, target, chain, chain_len, valid):
+            feats = self.encode_image_fn(params, images)
+            logits = bank_logits(feats, bank)
+            return batch_metrics(
+                logits,
+                target,
+                chain,
+                chain_len,
+                node_depth,
+                train_mask,
+                test_mask,
+                valid=valid,
+            )
+
+        return jax.jit(fn)
+
+    def eval_step(
+        self, params, bank, images, target: int, valid=None
+    ) -> BatchMetrics:
+        """Full eval step for one single-class batch."""
+        if valid is None:
+            valid = jnp.ones(images.shape[0], bool)
+        chain = jnp.asarray(self.chains[target])
+        clen = jnp.asarray(self.chain_len[target])
+        return self._eval_step(
+            params, bank, images, jnp.asarray(target), chain, clen, valid
+        )

@@ -1,0 +1,149 @@
+"""Hierarchical metric parity vs a literal numpy oracle.
+
+The oracle re-implements the reference eval loop's math (``main.py:136-191``)
+step by step with Python loops and list tables; the vectorized jit versions
+must match it exactly on random logits over a synthetic hierarchy.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from hgr_tpu.eval.metrics import (  # noqa: E402
+    TOPK,
+    accumulate,
+    batch_metrics,
+    summarize,
+    zeros_metrics,
+)
+
+
+def oracle_batch(logits, target, hier, train_index, test_index, topk=TOPK):
+    """Literal re-derivation of main.py:136-191 for one single-class batch."""
+    B, N = logits.shape
+    res = {"hits": np.zeros(len(topk)), "tor": 0.0, "path": 0.0, "point": 0.0}
+
+    # flat Hit@k over test subset
+    sub = logits[:, test_index]
+    order = np.argsort(-sub, axis=1, kind="stable")[:, : max(topk)]
+    pred_global = test_index[order]
+    for ki, k in enumerate(topk):
+        res["hits"][ki] = (pred_global[:, :k] == target).sum()
+
+    # TOR
+    parents = hier.chain_with_self(target)
+    sub = logits[:, train_index]
+    top1 = train_index[np.argmax(sub, axis=1)]
+    res["tor"] = float(sum(p in parents for p in top1))
+
+    # path/point via per-level constrained argmax
+    L = len(parents)
+    preds = np.zeros((B, L), dtype=int)
+    for j, p in enumerate(parents):
+        level = int(hier.depth[p])
+        same_l = set(hier.level(level)) | {p}
+        masked = logits.copy()
+        for n in range(N):
+            if n not in same_l:
+                masked[:, n] = -1.0
+        sub = masked[:, train_index]
+        preds[:, j] = train_index[np.argmax(sub, axis=1)]
+
+    edge = 0
+    point = 0
+    path = 0.0
+    for b in range(B):
+        if L - 1 == 0 and parents[0] == preds[b][0]:
+            path += 1
+        for j in range(L - 1):
+            if parents[j] == preds[b][j]:
+                point += 1
+            if parents[j] == preds[b][j] and parents[j + 1] == preds[b][j + 1]:
+                edge += 1
+        if parents[L - 1] == preds[b][L - 1]:
+            point += 1
+    if L - 1 != 0:
+        path += edge / (L - 1)
+    res["path"] = path
+    res["point"] = point / L
+    return res
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_hierarchy):
+    h = tiny_hierarchy
+    rng = np.random.default_rng(42)
+    n = h.num_nodes
+    train_index = np.arange(n, dtype=np.int64)  # reference: candidates_train='all'
+    test_index = np.sort(rng.choice(n, size=n // 2, replace=False))
+    train_mask = np.zeros(n, bool)
+    train_mask[train_index] = True
+    test_mask = np.zeros(n, bool)
+    test_mask[test_index] = True
+    return h, train_index, test_index, train_mask, test_mask, rng
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_batch_metrics_match_oracle(setup, trial):
+    h, train_index, test_index, train_mask, test_mask, rng = setup
+    n = h.num_nodes
+    B = 7
+    # pick targets at various depths, including depth-0 (L==1 path case)
+    targets = [int(h.level(0)[0]), int(h.level(h.max_depth)[0])]
+    targets += [int(rng.integers(n)) for _ in range(2)]
+    target = targets[trial]
+
+    logits = rng.uniform(-1, 1, size=(B, n)).astype(np.float32)
+    ref = oracle_batch(logits, target, h, train_index, test_index)
+
+    chain_list = h.chain_with_self(target)
+    Lmax = h.max_chain + 1
+    chain = np.full(Lmax, -1, np.int32)
+    chain[: len(chain_list)] = chain_list
+
+    got = batch_metrics(
+        jnp.asarray(logits),
+        jnp.asarray(target),
+        jnp.asarray(chain),
+        jnp.asarray(len(chain_list), jnp.int32),
+        jnp.asarray(h.depth),
+        jnp.asarray(train_mask),
+        jnp.asarray(test_mask),
+    )
+    np.testing.assert_allclose(np.asarray(got.hits), ref["hits"], atol=1e-5)
+    np.testing.assert_allclose(float(got.tor), ref["tor"], atol=1e-5)
+    np.testing.assert_allclose(float(got.path), ref["path"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(got.point), ref["point"], rtol=1e-5, atol=1e-5)
+    assert float(got.num) == B
+
+
+def test_accumulate_and_summarize(setup):
+    h, train_index, test_index, train_mask, test_mask, rng = setup
+    n = h.num_nodes
+    total = zeros_metrics()
+    Lmax = h.max_chain + 1
+    for _ in range(3):
+        target = int(rng.integers(n))
+        logits = rng.uniform(-1, 1, size=(4, n)).astype(np.float32)
+        chain_list = h.chain_with_self(target)
+        chain = np.full(Lmax, -1, np.int32)
+        chain[: len(chain_list)] = chain_list
+        m = batch_metrics(
+            jnp.asarray(logits),
+            jnp.asarray(target),
+            jnp.asarray(chain),
+            jnp.asarray(len(chain_list), jnp.int32),
+            jnp.asarray(h.depth),
+            jnp.asarray(train_mask),
+            jnp.asarray(test_mask),
+        )
+        total = accumulate(total, m)
+    s = summarize(total)
+    assert s["num_samples"] == 12
+    for k in TOPK:
+        assert 0.0 <= s[f"hit@{k}"] <= 100.0
+    # hit@k must be monotone in k
+    vals = [s[f"hit@{k}"] for k in TOPK]
+    assert vals == sorted(vals)
