@@ -86,6 +86,13 @@ class Config:
     load_path: str = "none"
     from_epoch: int = -1
 
+    # ---- synthetic mode (no ImageNet tree needed) -----------------------
+    synthetic: bool = False
+    synthetic_branching: int = 3
+    synthetic_levels: int = 4
+    synthetic_extra_edges: int = 5
+    synthetic_images_per_class: int = 8
+
     # ---- TPU-native additions -------------------------------------------
     mesh_data: int = -1   # -1: all devices on the data axis
     mesh_model: int = 1   # shards of the class bank / logits

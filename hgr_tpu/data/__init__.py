@@ -1,0 +1,23 @@
+from .pipeline import (
+    FileImageSource,
+    GroupBatch,
+    GroupedTestLoader,
+    GroupedTrainLoader,
+    SyntheticImageSource,
+    kshot_subsample,
+    load_manifest,
+)
+from .transforms import CLIP_MEAN, CLIP_STD, preprocess_pil
+
+__all__ = [
+    "FileImageSource",
+    "GroupBatch",
+    "GroupedTestLoader",
+    "GroupedTrainLoader",
+    "SyntheticImageSource",
+    "kshot_subsample",
+    "load_manifest",
+    "preprocess_pil",
+    "CLIP_MEAN",
+    "CLIP_STD",
+]

@@ -1,0 +1,286 @@
+"""Grouped episodic data pipeline: single-class batches for OM training/eval.
+
+Behavioural rebuild of the reference's grouped loaders
+(``dataset/imagenet_group.py:37-184``, ``dataset/imagenet_group_test.py:
+40-163``) with the quirks fixed and a TPU-friendly prefetching design:
+
+- **single-class batches** (the critical invariant — every hierarchy op uses
+  the batch's one target class, reference ``main.py:84,152``)
+- train: shuffled class order, one batch per episode,
+  ``n_episodes = num_data // batch_size + 1`` by default
+  (``imagenet_group.py:61-64``); per-class *infinite* shuffled iterators —
+  fixing the reference's broken exhaustion fallback
+  (``iter(exhausted_iterator)`` is identity, ``imagenet_group.py:137-141``)
+- test: deterministic enumeration of every batch of every class in order;
+  ``num_batches`` = sum of per-class ceil-divisions
+  (``imagenet_group_test.py:150-163``); final per-class partial batches are
+  zero-padded with a validity mask so device shapes stay static
+- corrupt-image fallback: a failed decode silently substitutes the class's
+  first image (``dataset/imagenet.py:149-152``)
+- k-shot subsampling of unseen classes for low-shot training
+  (``imagenet_group.py:79-93``; the reference's hard-coded absolute path at
+  ``:80`` is replaced by an explicit ``unseen`` argument)
+- host-side decode in a thread pool with a bounded prefetch queue
+  (double-buffering the H2D edge), replacing torch's 12-process DataLoader.
+
+Sources are pluggable: ``FileImageSource`` (PIL decode + CLIP transform) or
+``SyntheticImageSource`` (deterministic arrays, no files needed).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class GroupBatch:
+    images: np.ndarray   # [B, H, W, 3] float32 (zero-padded rows possible)
+    target: int          # class id (position in node ordering)
+    valid: np.ndarray    # [B] bool
+    paths: Optional[List[str]] = None
+
+
+class ImageSource(Protocol):
+    def load(self, class_name: str, paths: Sequence[str], idx: int) -> np.ndarray:
+        ...
+
+
+class FileImageSource:
+    """PIL decode + CLIP transform with the corrupt-image fallback."""
+
+    def __init__(self, resolution: int, image_root: str = ""):
+        self.resolution = resolution
+        self.image_root = image_root
+
+    def _open(self, path: str):
+        from PIL import Image
+
+        if self.image_root:
+            import os
+
+            path = os.path.join(self.image_root, path)
+        return Image.open(path)
+
+    def load(self, class_name: str, paths: Sequence[str], idx: int) -> np.ndarray:
+        from .transforms import preprocess_pil
+
+        try:
+            img = self._open(paths[idx]).convert("RGB")
+        except Exception:
+            # reference semantics: fall back to the class's first image
+            # (dataset/imagenet.py:149-152)
+            img = self._open(paths[0]).convert("RGB")
+        return preprocess_pil(img, self.resolution)
+
+
+class SyntheticImageSource:
+    """Deterministic pseudo-images keyed by (class, idx) — for tests/bench."""
+
+    def __init__(self, resolution: int):
+        self.resolution = resolution
+
+    def load(self, class_name: str, paths: Sequence[str], idx: int) -> np.ndarray:
+        seed = (hash(class_name) ^ idx) & 0xFFFFFFFF
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(
+            (self.resolution, self.resolution, 3)
+        ).astype(np.float32)
+
+
+def load_manifest(
+    path: str, candidates: Optional[Sequence[str]] = None
+) -> Dict[str, List[str]]:
+    """Read a ``{split}_split.json`` manifest ({wnid: [image paths]}),
+    optionally filtered to candidate classes (``imagenet_group.py:67-77``)."""
+    with open(path) as f:
+        data = json.load(f)
+    if candidates is None:
+        return data
+    return {c: data[c] for c in candidates}
+
+
+def kshot_subsample(
+    grouped: Dict[str, List[str]],
+    unseen: Sequence[str],
+    k_shots: int,
+    seed: int = 0,
+) -> Dict[str, List[str]]:
+    """Cap unseen classes at ``k_shots`` random images
+    (``imagenet_group.py:79-93``)."""
+    rng = np.random.default_rng(seed)
+    unseen_set = set(unseen)
+    out: Dict[str, List[str]] = {}
+    for cls, paths in grouped.items():
+        if cls in unseen_set and len(paths) > k_shots:
+            idx = rng.choice(len(paths), size=k_shots, replace=False)
+            out[cls] = [paths[i] for i in sorted(idx)]
+        else:
+            out[cls] = list(paths)
+    return out
+
+
+class _Prefetcher:
+    """Bounded-queue background producer."""
+
+    def __init__(self, gen_fn, depth: int = 4):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(
+            target=self._run, args=(gen_fn,), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, gen_fn):
+        try:
+            for item in gen_fn():
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item
+
+
+class GroupedTrainLoader:
+    """Infinite-per-class episodic train loader (one class per batch)."""
+
+    def __init__(
+        self,
+        grouped: Dict[str, List[str]],
+        class_ids: Dict[str, int],
+        source: ImageSource,
+        batch_size: int,
+        n_episodes: int = -1,
+        seed: int = 0,
+        num_threads: int = 8,
+        prefetch: int = 4,
+    ):
+        self.grouped = {c: p for c, p in grouped.items() if len(p) > 0}
+        self.class_ids = class_ids
+        self.source = source
+        self.batch_size = batch_size
+        self.num_data = sum(len(p) for p in self.grouped.values())
+        self.n_episodes = (
+            n_episodes if n_episodes > 0 else self.num_data // batch_size + 1
+        )
+        self.rng = np.random.default_rng(seed)
+        self.classes = list(self.grouped.keys())
+        self._cursors: Dict[str, List[int]] = {}
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._prefetch = prefetch
+
+    def _next_indices(self, cls: str) -> List[int]:
+        """Next batch of indices from the class's infinite shuffled stream.
+
+        Classes smaller than the batch size yield all their images per batch
+        (the reference inner DataLoader's drop_last=False behaviour)."""
+        n = len(self.grouped[cls])
+        take_n = min(self.batch_size, n)
+        buf = self._cursors.get(cls, [])
+        if len(buf) < take_n:
+            buf.extend(int(i) for i in self.rng.permutation(n))
+        take = buf[:take_n]
+        self._cursors[cls] = buf[take_n:]
+        return take
+
+    def _episode_classes(self) -> Iterator[str]:
+        while True:
+            order = self.rng.permutation(len(self.classes))
+            for g in order:
+                yield self.classes[int(g)]
+
+    def _make_batch(self, cls: str) -> GroupBatch:
+        paths = self.grouped[cls]
+        idxs = self._next_indices(cls)
+        imgs = list(
+            self._pool.map(lambda i: self.source.load(cls, paths, i), idxs)
+        )
+        B = self.batch_size
+        h, w, c = imgs[0].shape
+        out = np.zeros((B, h, w, c), np.float32)
+        valid = np.zeros(B, bool)
+        for j, im in enumerate(imgs):
+            out[j] = im
+            valid[j] = True
+        return GroupBatch(
+            images=out, target=self.class_ids[cls], valid=valid,
+            paths=[paths[i] for i in idxs],
+        )
+
+    def __len__(self) -> int:
+        return self.n_episodes
+
+    def __iter__(self) -> Iterator[GroupBatch]:
+        class_iter = self._episode_classes()
+
+        def gen():
+            for _ in range(self.n_episodes):
+                yield self._make_batch(next(class_iter))
+
+        return iter(_Prefetcher(gen, depth=self._prefetch))
+
+
+class GroupedTestLoader:
+    """Deterministic eval loader: every batch of every class, in order."""
+
+    def __init__(
+        self,
+        grouped: Dict[str, List[str]],
+        class_ids: Dict[str, int],
+        source: ImageSource,
+        batch_size: int,
+        num_threads: int = 8,
+        prefetch: int = 4,
+    ):
+        self.grouped = {c: p for c, p in grouped.items() if len(p) > 0}
+        self.class_ids = class_ids
+        self.source = source
+        self.batch_size = batch_size
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._prefetch = prefetch
+        self.num_batches = sum(
+            (len(p) + batch_size - 1) // batch_size
+            for p in self.grouped.values()
+        )
+        self.num_images = sum(len(p) for p in self.grouped.values())
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[GroupBatch]:
+        def gen():
+            B = self.batch_size
+            for cls, paths in self.grouped.items():
+                n = len(paths)
+                for start in range(0, n, B):
+                    idxs = list(range(start, min(start + B, n)))
+                    imgs = list(
+                        self._pool.map(
+                            lambda i: self.source.load(cls, paths, i), idxs
+                        )
+                    )
+                    h, w, c = imgs[0].shape
+                    out = np.zeros((B, h, w, c), np.float32)
+                    valid = np.zeros(B, bool)
+                    for j, im in enumerate(imgs):
+                        out[j] = im
+                        valid[j] = True
+                    yield GroupBatch(
+                        images=out,
+                        target=self.class_ids[cls],
+                        valid=valid,
+                        paths=[paths[i] for i in idxs],
+                    )
+
+        return iter(_Prefetcher(gen, depth=self._prefetch))

@@ -1,0 +1,41 @@
+"""Image preprocessing: CLIP eval transform, host-side, NHWC float32.
+
+Equivalent of the reference's ``_transform`` (canonical at
+``clip/clip.py:71-78``, duplicated in all three dataset files): resize the
+short side to ``n_px`` with bicubic, center-crop ``n_px``, RGB, scale to
+[0,1], normalize with the CLIP mean/std. Output is NHWC float32 (the
+framework's TPU-native layout); the trainer casts to bf16 on device.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess_pil(img, n_px: int) -> np.ndarray:
+    """PIL image -> [n_px, n_px, 3] float32, CLIP-normalized."""
+    from PIL import Image
+
+    w, h = img.size
+    if w < h:
+        nw, nh = n_px, max(1, round(h * n_px / w))
+    else:
+        nw, nh = max(1, round(w * n_px / h)), n_px
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - n_px) // 2
+    top = (nh - n_px) // 2
+    img = img.crop((left, top, left + n_px, top + n_px))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - CLIP_MEAN) / CLIP_STD
+
+
+def normalize_array(arr: np.ndarray) -> np.ndarray:
+    """[H, W, 3] float32 in [0,1] -> CLIP-normalized."""
+    return (arr - CLIP_MEAN) / CLIP_STD

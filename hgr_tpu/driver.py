@@ -1,0 +1,253 @@
+"""Top-level driver: train / evaluate, mirroring the reference CLI flows.
+
+Equivalents of the reference's ``train()`` (``main.py:72-101``), ``test()``
+(``main.py:104-222``) and ``main()`` (``main.py:225-267``) on the TPU-native
+stack. Supports a fully synthetic mode (``--synthetic True``) that fabricates
+a hierarchy + image source so every flow runs without the 1.4TB ImageNet-21K
+tree — real runs point ``graph_path``/``split_path``/``image_root`` at the
+same JSON artifacts the reference uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from .config import Config
+from .data import (
+    FileImageSource,
+    GroupedTestLoader,
+    GroupedTrainLoader,
+    SyntheticImageSource,
+    kshot_subsample,
+    load_manifest,
+)
+from .eval.metrics import accumulate, summarize, zeros_metrics
+from .hierarchy import Hierarchy, synthetic_hierarchy
+from .tree_model import TreeModel
+from .utils.checkpoint import restore_params, save_checkpoint
+from .utils.logging import RunLogger
+
+
+def build_hierarchy(config: Config) -> Tuple[Hierarchy, Dict[str, list]]:
+    """Hierarchy + splits from config (synthetic or JSON artifacts)."""
+    if getattr(config, "synthetic", False):
+        hier = synthetic_hierarchy(
+            branching=config.synthetic_branching,
+            levels=config.synthetic_levels,
+            extra_edges=config.synthetic_extra_edges,
+            seed=config.seed,
+        )
+        rng = np.random.default_rng(config.seed)
+        names = list(hier.names)
+        n_train = max(1, len(names) * 2 // 3)
+        perm = rng.permutation(len(names))
+        train = [names[i] for i in sorted(perm[:n_train])]
+        rest = [names[i] for i in sorted(perm[n_train:])]
+        splits = {"train": train, "rest": rest, "all": train + rest}
+        return hier, splits
+    hier = Hierarchy.from_json(config.graph_path)
+    with open(config.split_path) as f:
+        splits = json.load(f)
+    return hier, splits
+
+
+def build_model(config: Config, hier: Hierarchy, splits: Dict[str, list]) -> TreeModel:
+    tokenizer = None
+    names = None
+    if not getattr(config, "synthetic", False):
+        from .text import Tokenizer
+
+        try:
+            tokenizer = Tokenizer(config.vocab_path or None)
+        except FileNotFoundError:
+            tokenizer = None
+        if config.names_path and os.path.exists(config.names_path):
+            with open(config.names_path) as f:
+                names = json.load(f)
+    tm = TreeModel.build(
+        config,
+        hier,
+        candidates_train=splits[config.model_train],
+        candidates_test=splits[config.model_test],
+        tokenizer=tokenizer,
+        names=names,
+        pad_multiple=1024 if hier.num_nodes > 1024 else 128,
+        seed=config.seed,
+    )
+    tm.init_params(config.seed)
+
+    if config.fetch and config.fetch_path:
+        restored = restore_params(config.fetch_path)
+        tm.params, tm.layer_weight = restored["clip"], restored["layer_weight"]
+    if config.load:
+        path = (
+            config.load_path
+            if config.load_path != "none"
+            else os.path.join(config.save_path, f"clip_{config.from_epoch}")
+        )
+        restored = restore_params(path)
+        tm.params, tm.layer_weight = restored["clip"], restored["layer_weight"]
+        print("successfully loaded", flush=True)
+    return tm
+
+
+def _image_source(config: Config, resolution: int):
+    if getattr(config, "synthetic", False):
+        return SyntheticImageSource(resolution)
+    return FileImageSource(resolution, config.image_root)
+
+
+def _grouped_split(config: Config, split: str, candidates, splits) -> Dict[str, list]:
+    if getattr(config, "synthetic", False):
+        per = config.synthetic_images_per_class
+        return {c: [f"{c}/{j}.jpg" for j in range(per)] for c in candidates}
+    manifest_path = os.path.join(
+        os.path.dirname(config.split_path), f"{split}_split.json"
+    )
+    grouped = load_manifest(manifest_path, candidates)
+    if config.k_shots > 0:
+        grouped = kshot_subsample(
+            grouped, unseen=splits["rest"], k_shots=config.k_shots, seed=config.seed
+        )
+    return grouped
+
+
+def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[str, float]:
+    """Zero-shot evaluation (reference ``test()``, ``main.py:104-222``)."""
+    import jax
+    import jax.numpy as jnp
+
+    bank = tm.update_classifier()
+    grouped = _grouped_split(
+        config, config.data_split_test, splits[config.data_test], splits
+    )
+    loader = GroupedTestLoader(
+        grouped,
+        {c: tm.hier.name_to_id[c] for c in grouped},
+        _image_source(config, tm.clip_cfg.image_resolution),
+        config.test_batch_size,
+        num_threads=config.num_workers,
+    )
+    logger.log_text(f"number of batches:{loader.num_batches}")
+
+    total = zeros_metrics()
+    t0 = time.time()
+    n_img = 0
+    for i, batch in enumerate(loader):
+        m = tm.eval_step(
+            tm.params,
+            bank,
+            jnp.asarray(batch.images, tm.dtype),
+            batch.target,
+            valid=jnp.asarray(batch.valid),
+        )
+        total = accumulate(total, m)
+        n_img += int(batch.valid.sum())
+        if i % config.print_freq == 0:
+            logger.log_eval(summarize(total), tag=f"batch {i}/{loader.num_batches}")
+    dt = time.time() - t0
+    summary = summarize(total)
+    summary["imgs_per_sec"] = n_img / max(dt, 1e-9)
+    logger.log_text("End of testing.")
+    logger.log_eval(summary, tag="final")
+    logger.log_global_summary(
+        config.weights, config.out_ratio, config.in_ratio, summary
+    )
+    return summary
+
+
+def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
+    """OM fine-tuning (reference ``train()`` + driver, ``main.py:72-101,
+    225-258``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .train import (
+        NegativeSampler,
+        ScheduleBuilder,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        sched_to_device,
+    )
+
+    grouped = _grouped_split(
+        config, config.data_split_train, splits[config.data_train], splits
+    )
+    loader = GroupedTrainLoader(
+        grouped,
+        {c: tm.hier.name_to_id[c] for c in grouped},
+        _image_source(config, tm.clip_cfg.image_resolution),
+        config.batch_size,
+        n_episodes=config.n_episodes,
+        seed=config.seed,
+        num_threads=config.num_workers,
+    )
+    num_batches = loader.n_episodes
+    total_steps = config.epochs * num_batches
+
+    tx = make_optimizer(config, total_steps)
+    state = init_train_state(tm.params, tm.layer_weight, tx)
+    step_fn = make_train_step(config, tm.clip_cfg, tx, dtype=tm.dtype,
+                              donate=config.donate)
+
+    sampler = NegativeSampler(
+        tm.hier,
+        tm.train_index,
+        config.num_compare,
+        k=config.k,
+        seed=config.seed,
+    )
+    builder = ScheduleBuilder(
+        tm.hier,
+        sampler,
+        config.out_ratio,
+        config.in_ratio,
+        config.num_compare,
+        method=config.training_method,
+        strategy=config.sample_strategy,
+    )
+    node_tokens = jnp.asarray(tm.node_tokens)
+
+    logger.log_config(config)
+    for epoch in range(config.from_epoch + 1, config.epochs):
+        if config.sample_strategy in ("simi", "near_simi"):
+            # refresh the similarity-ranking bank once per epoch (the
+            # reference re-encodes per step inside no_grad; see sampling.py)
+            bank = tm.update_classifier(state.params["clip"])
+            sampler.set_class_feats(
+                np.asarray(bank[: tm.hier.num_nodes], np.float32)
+            )
+        for i, batch in enumerate(loader):
+            sched = sched_to_device(builder.build(batch.target))
+            state, loss = step_fn(
+                state, jnp.asarray(batch.images, tm.dtype), node_tokens, sched
+            )
+            if i % config.print_freq == 0:
+                logger.log_train(epoch, i, num_batches, float(loss))
+        tm.params = state.params["clip"]
+        tm.layer_weight = state.params["layer_weight"]
+        save_checkpoint(config.save_path, epoch, state)
+        logger.log_text(f"Model saved. epoch={epoch}")
+        if config.test_after_train:
+            run_test(config, tm, splits, logger)
+    return state
+
+
+def main(argv=None) -> None:
+    config = Config.from_args(argv)
+    hier, splits = build_hierarchy(config)
+    print("Creating models", flush=True)
+    tm = build_model(config, hier, splits)
+    logger = RunLogger(config.save_path)
+    if config.train:
+        print("Training.", flush=True)
+        run_train(config, tm, splits, logger)
+    else:
+        print("Direct testing.", flush=True)
+        run_test(config, tm, splits, logger)

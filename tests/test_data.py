@@ -1,0 +1,143 @@
+"""Data pipeline tests: grouping invariants, episodes, k-shot, transforms,
+corrupt-image fallback."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hgr_tpu.data import (
+    FileImageSource,
+    GroupedTestLoader,
+    GroupedTrainLoader,
+    SyntheticImageSource,
+    kshot_subsample,
+    load_manifest,
+    preprocess_pil,
+)
+from hgr_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+
+def _grouped(n_cls=5, sizes=(10, 3, 7, 1, 12)):
+    return {f"c{i}": [f"c{i}/img{j}.jpg" for j in range(sizes[i])] for i in range(n_cls)}
+
+
+CLASS_IDS = {f"c{i}": i for i in range(5)}
+
+
+def test_train_loader_single_class_batches_and_episode_count():
+    g = _grouped()
+    loader = GroupedTrainLoader(
+        g, CLASS_IDS, SyntheticImageSource(8), batch_size=4, seed=0, num_threads=2
+    )
+    # reference default: num_data // batch + 1 (imagenet_group.py:61-64)
+    assert loader.n_episodes == 33 // 4 + 1
+    batches = list(loader)
+    assert len(batches) == loader.n_episodes
+    for b in batches:
+        assert b.images.shape == (4, 8, 8, 3)
+        assert 0 <= b.target < 5
+        # single-class invariant: all valid rows share the batch's one target
+        n_valid = b.valid.sum()
+        expected = min(4, len(g[f"c{b.target}"]))
+        assert n_valid == expected
+
+
+def test_train_loader_small_class_yields_all_images():
+    g = {"tiny": ["tiny/0.jpg", "tiny/1.jpg"]}
+    loader = GroupedTrainLoader(
+        g, {"tiny": 0}, SyntheticImageSource(8), batch_size=6, seed=0, num_threads=1
+    )
+    b = next(iter(loader))
+    assert b.valid.sum() == 2
+
+
+def test_train_loader_covers_all_images_of_large_class():
+    g = {"c": [f"c/{j}.jpg" for j in range(8)]}
+    loader = GroupedTrainLoader(
+        g, {"c": 0}, SyntheticImageSource(4), batch_size=4, n_episodes=2,
+        seed=0, num_threads=1,
+    )
+    seen = []
+    for b in loader:
+        seen.extend(b.paths)
+    # two batches of 4 from an 8-image class = one full permutation
+    assert sorted(seen) == sorted(g["c"])
+
+
+def test_test_loader_deterministic_and_complete():
+    g = _grouped()
+    loader = GroupedTestLoader(
+        g, CLASS_IDS, SyntheticImageSource(8), batch_size=4, num_threads=2
+    )
+    # num_batches = sum of ceil(n_c / B) (imagenet_group_test.py:150-163)
+    assert loader.num_batches == sum((s + 3) // 4 for s in (10, 3, 7, 1, 12))
+    b1 = [(b.target, tuple(b.paths)) for b in loader]
+    b2 = [(b.target, tuple(b.paths)) for b in loader]
+    assert b1 == b2
+    assert len(b1) == loader.num_batches
+    total_valid = sum(b.valid.sum() for b in loader)
+    assert total_valid == 33
+
+
+def test_kshot_subsample():
+    g = _grouped()
+    out = kshot_subsample(g, unseen=["c0", "c4"], k_shots=5, seed=0)
+    assert len(out["c0"]) == 5
+    assert len(out["c4"]) == 5
+    assert len(out["c2"]) == 7  # seen classes untouched
+    assert set(out["c0"]) <= set(g["c0"])
+
+
+def test_manifest_roundtrip(tmp_path):
+    g = _grouped()
+    p = tmp_path / "train_split.json"
+    p.write_text(json.dumps(g))
+    m = load_manifest(str(p), candidates=["c1", "c3"])
+    assert set(m) == {"c1", "c3"}
+
+
+def test_preprocess_matches_torchvision_clip_transform():
+    """Golden check against the canonical transform (clip/clip.py:71-78)."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, size=(37, 53, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    out = preprocess_pil(img, 16)
+    assert out.shape == (16, 16, 3)
+
+    try:
+        import torch
+        from torchvision import transforms as T
+    except ImportError:
+        pytest.skip("torchvision unavailable")
+    ref_t = T.Compose(
+        [
+            T.Resize(16, interpolation=T.InterpolationMode.BICUBIC),
+            T.CenterCrop(16),
+            T.ToTensor(),
+            T.Normalize(tuple(CLIP_MEAN), tuple(CLIP_STD)),
+        ]
+    )
+    ref = ref_t(img).numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+def test_corrupt_image_fallback(tmp_path):
+    from PIL import Image
+
+    good = tmp_path / "good.png"
+    Image.fromarray(
+        np.full((8, 8, 3), 200, np.uint8)
+    ).save(good)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not an image")
+
+    src = FileImageSource(resolution=8)
+    paths = [str(good), str(bad)]
+    out_good = src.load("c", paths, 0)
+    out_bad = src.load("c", paths, 1)  # falls back to paths[0]
+    np.testing.assert_allclose(out_bad, out_good)
