@@ -86,6 +86,16 @@ class Config:
     load_path: str = "none"
     from_epoch: int = -1
 
+    # ---- CoOp learned-prompt variant (model/clip_coop.py, model/CoOp.py) --
+    coop: bool = False
+    n_ctx: int = 16                    # learned context vectors (CoOp.py:89)
+    class_token_position: str = "end"  # end|middle|front (CoOp.py:106-160)
+    coop_train: str = "clip"  # which leaves train: ctx|clip|both; the
+    # reference tree_coop freezes the prompt learner and trains CLIP
+    # (clip_coop.py:72-76); standard CoOp is "ctx"
+    exclu_bro: bool = False   # exclude siblings from topk negatives
+    # (clip_coop.py:111-115)
+
     # ---- synthetic mode (no ImageNet tree needed) -----------------------
     synthetic: bool = False
     synthetic_branching: int = 3

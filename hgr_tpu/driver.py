@@ -81,17 +81,20 @@ def build_model(config: Config, hier: Hierarchy, splits: Dict[str, list]) -> Tre
     )
     tm.init_params(config.seed)
 
-    if config.fetch and config.fetch_path:
-        restored = restore_params(config.fetch_path)
+    def _apply(restored):
         tm.params, tm.layer_weight = restored["clip"], restored["layer_weight"]
+        if "coop_ctx" in restored:
+            tm.coop_ctx = restored["coop_ctx"]
+
+    if config.fetch and config.fetch_path:
+        _apply(restore_params(config.fetch_path))
     if config.load:
         path = (
             config.load_path
             if config.load_path != "none"
             else os.path.join(config.save_path, f"clip_{config.from_epoch}")
         )
-        restored = restore_params(path)
-        tm.params, tm.layer_weight = restored["clip"], restored["layer_weight"]
+        _apply(restore_params(path))
         print("successfully loaded", flush=True)
     return tm
 
@@ -122,7 +125,21 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     import jax
     import jax.numpy as jnp
 
-    bank = tm.update_classifier()
+    if config.coop:
+        from .eval.bank import build_bank_ids
+
+        static, ctx = tm.coop_setup(config.seed)
+        if getattr(tm, "coop_ctx", None) is not None:
+            ctx = tm.coop_ctx  # trained context from run_train / checkpoint
+        bank = build_bank_ids(
+            {"clip": tm.params, "coop_ctx": ctx},
+            tm.n_pad,
+            tm.coop_text_fn(static),
+            chunk=min(512, tm.n_pad),
+            out_dtype=tm.dtype,
+        )
+    else:
+        bank = tm.update_classifier()
     grouped = _grouped_split(
         config, config.data_split_test, splits[config.data_test], splits
     )
@@ -191,10 +208,25 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
     num_batches = loader.n_episodes
     total_steps = config.epochs * num_batches
 
-    tx = make_optimizer(config, total_steps)
-    state = init_train_state(tm.params, tm.layer_weight, tx)
+    text_fn = None
+    extra_params = None
+    extra_labels = None
+    coop_static = None
+    if config.coop:
+        coop_static, ctx = tm.coop_setup(config.seed)
+        text_fn = tm.coop_text_fn(coop_static)
+        extra_params = {"coop_ctx": ctx}
+        extra_labels = {
+            "ctx": {"clip": "frozen", "coop_ctx": "clip"},
+            "clip": {"coop_ctx": "frozen"},
+            "both": {"coop_ctx": "clip"},
+        }[config.coop_train]
+
+    tx = make_optimizer(config, total_steps, extra_labels=extra_labels)
+    state = init_train_state(tm.params, tm.layer_weight, tx,
+                             extra_params=extra_params)
     step_fn = make_train_step(config, tm.clip_cfg, tx, dtype=tm.dtype,
-                              donate=config.donate)
+                              donate=config.donate, text_fn=text_fn)
 
     sampler = NegativeSampler(
         tm.hier,
@@ -202,6 +234,8 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
         config.num_compare,
         k=config.k,
         seed=config.seed,
+        topk_window="both" if config.coop else "below",
+        exclu_bro=config.exclu_bro,
     )
     builder = ScheduleBuilder(
         tm.hier,
@@ -232,6 +266,8 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
                 logger.log_train(epoch, i, num_batches, float(loss))
         tm.params = state.params["clip"]
         tm.layer_weight = state.params["layer_weight"]
+        if config.coop:
+            tm.coop_ctx = state.params["coop_ctx"]
         save_checkpoint(config.save_path, epoch, state)
         logger.log_text(f"Model saved. epoch={epoch}")
         if config.test_after_train:

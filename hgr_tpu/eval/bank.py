@@ -55,6 +55,25 @@ def build_bank(
     return feats.reshape(n_pad, -1)
 
 
+def build_bank_ids(
+    params,
+    n_pad: int,
+    text_fn: Callable,             # (params, ids [C]) -> normalized [C, D]
+    chunk: int = 512,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Bank builder for variant text paths (e.g. CoOp): iterate class-id
+    chunks through ``text_fn`` under one jit'd scan."""
+    assert n_pad % chunk == 0
+    ids = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_pad // chunk, chunk)
+
+    def step(_, idx):
+        return None, text_fn(params, idx).astype(out_dtype)
+
+    _, feats = jax.lax.scan(step, None, ids)
+    return feats.reshape(n_pad, -1)
+
+
 def bank_logits(img_feats: jnp.ndarray, bank: jnp.ndarray) -> jnp.ndarray:
     """[B, D] image features (unnormalized) x [N_pad, D] bank -> [B, N_pad]
     raw cosine logits in fp32 (the reference's eval ``forward`` applies no

@@ -59,6 +59,7 @@ def om_loss(
     in_mode: str,
     out_mode: str,
     remat: bool = False,
+    text_fn: Callable = None,
 ) -> jnp.ndarray:
     clip_params = params["clip"]
     layer_weight = params["layer_weight"]
@@ -66,9 +67,14 @@ def om_loss(
     img = encode_image(clip_params, clip_cfg, images, dtype=dtype, remat=remat)
     img = l2_normalize(img)                                   # [B, D]
 
-    toks = node_tokens[sched["unique"]]                        # [U, T]
-    tfeat = encode_text(clip_params, clip_cfg, toks, dtype=dtype, remat=remat)
-    tfeat = l2_normalize(tfeat)                                # [U, D]
+    if text_fn is None:
+        toks = node_tokens[sched["unique"]]                    # [U, T]
+        tfeat = encode_text(clip_params, clip_cfg, toks, dtype=dtype, remat=remat)
+        tfeat = l2_normalize(tfeat)                            # [U, D]
+    else:
+        # variant text path (e.g. the CoOp prompt learner): maps class ids
+        # to normalized features using whatever trainable leaves it needs
+        tfeat = text_fn(params, sched["unique"])               # [U, D]
 
     pair_feats = tfeat[sched["inv"]]                           # [P, C, D]
     scale = jnp.exp(clip_params["logit_scale"])
@@ -97,6 +103,7 @@ def make_om_loss_fn(
     weights: str,
     weighting: str,
     remat: bool = False,
+    text_fn: Callable = None,
 ) -> Callable:
     in_mode, out_mode = resolve_weight_modes(training_method, weights, weighting)
     return functools.partial(
@@ -106,4 +113,5 @@ def make_om_loss_fn(
         in_mode=in_mode,
         out_mode=out_mode,
         remat=remat,
+        text_fn=text_fn,
     )

@@ -82,6 +82,11 @@ class NegativeSampler:
         k: int = 1,
         seed: int = 0,
         class_feats: Optional[np.ndarray] = None,  # [N, D] for simi ranking
+        topk_window: str = "below",  # "below" = clip_tree.py:127-131;
+        # "both" = the tree_coop variant's symmetric window
+        # (model/clip_coop.py:101-106)
+        exclu_bro: bool = False,     # also exclude siblings
+        # (model/clip_coop.py:111-115)
     ):
         self.hier = hier
         self.train_index = np.asarray(train_index, np.int64)
@@ -90,6 +95,8 @@ class NegativeSampler:
         self.k = k
         self.rng = np.random.default_rng(seed)
         self.class_feats = class_feats
+        self.topk_window = topk_window
+        self.exclu_bro = exclu_bro
         # level -> candidate list caches
         self._level_lists: Dict[int, List[int]] = {
             d: hier.level(d) for d in range(hier.max_depth + 1)
@@ -122,11 +129,20 @@ class NegativeSampler:
         elif method == "topk":
             low = max(0, depth - self.k)
             cand: List[int] = []
-            for d in range(low, depth):
-                cand.extend(self._level_lists[d])
-            if depth == 0:
-                cand.extend(self._level_lists[0])
-            pool = list(set(cand) - set(parents))
+            if self.topk_window == "both":
+                high = min(self.hier.max_depth, depth + self.k)
+                for d in range(low, high + 1):
+                    cand.extend(self._level_lists[d])
+            else:
+                for d in range(low, depth):
+                    cand.extend(self._level_lists[d])
+                if depth == 0:
+                    cand.extend(self._level_lists[0])
+            pool_set = set(cand) - set(parents)
+            if self.exclu_bro and len(parents) > 1 and depth > 0:
+                parent = parents[depth - 1]
+                pool_set -= set(self.hier.children(parent)) - {target}
+            pool = list(pool_set)
             if len(pool) > self.num_compare:
                 idx = self.rng.choice(len(pool), self.num_compare, replace=False)
                 ids = [pool[i] for i in idx]

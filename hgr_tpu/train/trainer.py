@@ -37,16 +37,29 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(config: Config, total_steps: int) -> optax.GradientTransformation:
+def make_optimizer(
+    config: Config, total_steps: int, extra_labels: Optional[Dict[str, str]] = None
+) -> optax.GradientTransformation:
+    """AdamW(clip) + SGD(layer_weight), with optional extra param groups.
+
+    ``extra_labels`` maps extra top-level param keys to one of:
+    ``"clip"`` (join the AdamW group), ``"lw"`` (join the SGD group), or
+    ``"frozen"`` (no update) — used by the CoOp variant to choose whether the
+    context vectors, the CLIP weights, or both train
+    (the reference's tree_coop freezes the prompt learner and trains CLIP,
+    ``model/clip_coop.py:72-76``).
+    """
     schedule = cosine_lr(config.lr, config.warmup_length, total_steps)
     clip_tx = optax.chain(
         optax.clip_by_global_norm(config.grad_clip),
         optax.adamw(learning_rate=schedule, weight_decay=config.wd),
     )
     lw_tx = optax.sgd(learning_rate=config.w_lr)
+    labels = {"clip": "clip", "layer_weight": "lw"}
+    labels.update(extra_labels or {})
     return optax.multi_transform(
-        {"clip": clip_tx, "lw": lw_tx},
-        param_labels={"clip": "clip", "layer_weight": "lw"},
+        {"clip": clip_tx, "lw": lw_tx, "frozen": optax.set_to_zero()},
+        param_labels=labels,
     )
 
 
@@ -71,6 +84,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     dtype=jnp.bfloat16,
     donate: bool = True,
+    text_fn: Callable = None,
 ) -> Callable:
     """-> jitted ``step(state, images, node_tokens, sched) -> (state, loss)``."""
     loss_fn = make_om_loss_fn(
@@ -80,6 +94,7 @@ def make_train_step(
         config.weights,
         config.weighting,
         remat=False,
+        text_fn=text_fn,
     )
 
     def step(state: TrainState, images, node_tokens, sched):
@@ -97,8 +112,10 @@ def init_train_state(
     clip_params: Any,
     layer_weight: jnp.ndarray,
     tx: optax.GradientTransformation,
+    extra_params: Optional[Dict[str, Any]] = None,
 ) -> TrainState:
     params = {"clip": clip_params, "layer_weight": layer_weight}
+    params.update(extra_params or {})
     return TrainState(
         params=params,
         opt_state=tx.init(params),

@@ -86,6 +86,7 @@ class TreeModel:
     test_mask: np.ndarray        # [N_pad] bool
     params: Any = None           # CLIP param pytree (+ logit_scale)
     layer_weight: Any = None     # [n_levels] adaptive per-depth weight
+    name_token_ids: Any = None   # per-node class-name BPE ids (CoOp prompts)
 
     # ---- construction ----------------------------------------------------
     @classmethod
@@ -107,10 +108,16 @@ class TreeModel:
         if tokenizer is not None:
             prompts = node_prompts(hier, config.template, names)
             tokens = tokenizer.tokenize(prompts, clip_cfg.context_length)
+            name_token_ids = [
+                tokenizer.encode(((names or {}).get(w, w)) + ".")
+                for w in hier.names
+            ]
         else:
             tokens = synthetic_tokens(
                 n, clip_cfg.context_length, clip_cfg.vocab_size, seed
             )
+            # synthetic "names": the body ids between SOT and EOT
+            name_token_ids = [list(map(int, tokens[i, 1:7])) for i in range(n)]
         tokens = pad_tokens(tokens, n_pad)
 
         depth = np.full(n_pad, PAD, np.int32)
@@ -155,6 +162,7 @@ class TreeModel:
             train_mask=train_mask,
             test_mask=test_mask,
             layer_weight=jnp.asarray(layer_weight, jnp.float32),
+            name_token_ids=name_token_ids,
         )
 
     # ---- params ----------------------------------------------------------
@@ -234,6 +242,33 @@ class TreeModel:
             )
 
         return jax.jit(fn)
+
+    # ---- CoOp variant ----------------------------------------------------
+    def coop_setup(self, seed: int = 0):
+        """Build the CoOp prompt-learner state: static prompt layout padded
+        to n_pad + trainable ctx (see models/coop.py)."""
+        from .models.coop import build_coop_static, coop_ctx_init
+
+        cfg = self.clip_cfg
+        ids = list(self.name_token_ids)
+        ids += [[0]] * (self.n_pad - len(ids))  # pad rows
+        static = build_coop_static(
+            ids,
+            cfg.context_length,
+            sot_id=cfg.vocab_size - 2,
+            eot_id=cfg.vocab_size - 1,
+            n_ctx=self.config.n_ctx,
+            position=self.config.class_token_position,
+        )
+        ctx = coop_ctx_init(
+            jax.random.PRNGKey(seed), self.config.n_ctx, cfg.transformer_width
+        )
+        return static, ctx
+
+    def coop_text_fn(self, static):
+        from .models.coop import make_coop_text_fn
+
+        return make_coop_text_fn(static, self.clip_cfg, dtype=self.dtype)
 
     def eval_step(
         self, params, bank, images, target: int, valid=None
