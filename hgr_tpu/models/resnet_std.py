@@ -1,0 +1,151 @@
+"""Standard (torchvision-style) ResNet-50, NHWC — the frozen feature
+extractor used by the DGP/CNZSL/FREE baselines.
+
+Behavioural equivalent of the reference's vendored torchvision-style ResNet
+(``baseline/DGP/models/resnet.py``; used frozen at
+``baseline/FREE/train_free.py:171-186``, ``baseline/CNZSL/cnzsl.py``):
+7x7/2 conv stem + maxpool, post-activation bottlenecks, global average pool
+-> 2048-d features (``base`` mode) or fc logits. Weight layout converts from
+a torchvision ``state_dict`` via :func:`convert_torch_resnet`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import Params, avg_pool, batch_norm, bn_init, conv2d, conv_init
+
+LAYERS_50 = (3, 4, 6, 3)
+EXP = 4
+
+
+def _block_init(key, cin: int, planes: int, stride: int) -> Params:
+    k1, k2, k3, kd = jax.random.split(key, 4)
+    p: Params = {
+        "conv1": conv_init(k1, 1, 1, cin, planes),
+        "bn1": bn_init(planes),
+        "conv2": conv_init(k2, 3, 3, planes, planes),
+        "bn2": bn_init(planes),
+        "conv3": conv_init(k3, 1, 1, planes, planes * EXP),
+        "bn3": bn_init(planes * EXP),
+    }
+    if stride != 1 or cin != planes * EXP:
+        p["downsample"] = {
+            "conv": conv_init(kd, 1, 1, cin, planes * EXP),
+            "bn": bn_init(planes * EXP),
+        }
+    return p
+
+
+def _block_apply(p: Params, x, stride: int):
+    out = jax.nn.relu(batch_norm(p["bn1"], conv2d(p["conv1"], x)))
+    out = jax.nn.relu(
+        batch_norm(p["bn2"], conv2d(p["conv2"], out, stride=stride, padding=1))
+    )
+    out = batch_norm(p["bn3"], conv2d(p["conv3"], out))
+    if "downsample" in p:
+        idn = batch_norm(
+            p["downsample"]["bn"], conv2d(p["downsample"]["conv"], x, stride=stride)
+        )
+    else:
+        idn = x
+    return jax.nn.relu(out + idn)
+
+
+def resnet50_init(key, num_classes: int = 1000) -> Params:
+    keys = jax.random.split(key, 6)
+    p: Params = {
+        "conv1": conv_init(keys[0], 7, 7, 3, 64),
+        "bn1": bn_init(64),
+    }
+    cin = 64
+    for li, (blocks, planes) in enumerate(
+        zip(LAYERS_50, (64, 128, 256, 512)), start=1
+    ):
+        bkeys = jax.random.split(keys[li], blocks)
+        stride = 1 if li == 1 else 2
+        blist = [_block_init(bkeys[0], cin, planes, stride)]
+        cin = planes * EXP
+        for b in range(1, blocks):
+            blist.append(_block_init(bkeys[b], cin, planes, 1))
+        p[f"layer{li}"] = blist
+    p["fc"] = {
+        "w": 0.01 * jax.random.normal(keys[5], (2048, num_classes)),
+        "b": jnp.zeros((num_classes,)),
+    }
+    return p
+
+
+def _max_pool_3x3s2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
+    )
+
+
+def resnet50_features(p: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[B, H, W, 3] -> pooled [B, 2048] features (the baselines' frozen
+    extractor output, e.g. ``baseline/CNZSL/cnzsl.py`` feature_encoder)."""
+    x = x.astype(dtype)
+    x = jax.nn.relu(batch_norm(p["bn1"], conv2d(p["conv1"], x, stride=2, padding=3)))
+    x = _max_pool_3x3s2(x)
+    for li, blocks in enumerate(LAYERS_50, start=1):
+        for b in range(blocks):
+            stride = 2 if (li > 1 and b == 0) else 1
+            x = _block_apply(p[f"layer{li}"][b], x, stride)
+    return x.mean(axis=(1, 2))
+
+
+def resnet50_logits(p: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    f = resnet50_features(p, x, dtype)
+    return f @ p["fc"]["w"].astype(f.dtype) + p["fc"]["b"].astype(f.dtype)
+
+
+def convert_torch_resnet(sd: Dict[str, Any]) -> Params:
+    """torchvision resnet50 state_dict -> this param tree."""
+
+    def n_(x):
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().float().numpy()
+        return np.asarray(x, np.float32)
+
+    def conv(name):
+        return {"w": jnp.asarray(n_(sd[f"{name}.weight"]).transpose(2, 3, 1, 0))}
+
+    def bn(name):
+        return {
+            "scale": jnp.asarray(n_(sd[f"{name}.weight"])),
+            "bias": jnp.asarray(n_(sd[f"{name}.bias"])),
+            "mean": jnp.asarray(n_(sd[f"{name}.running_mean"])),
+            "var": jnp.asarray(n_(sd[f"{name}.running_var"])),
+        }
+
+    p: Params = {"conv1": conv("conv1"), "bn1": bn("bn1")}
+    for li, blocks in enumerate(LAYERS_50, start=1):
+        blist = []
+        for b in range(blocks):
+            base = f"layer{li}.{b}"
+            bp: Params = {
+                "conv1": conv(f"{base}.conv1"),
+                "bn1": bn(f"{base}.bn1"),
+                "conv2": conv(f"{base}.conv2"),
+                "bn2": bn(f"{base}.bn2"),
+                "conv3": conv(f"{base}.conv3"),
+                "bn3": bn(f"{base}.bn3"),
+            }
+            if f"{base}.downsample.0.weight" in sd:
+                bp["downsample"] = {
+                    "conv": conv(f"{base}.downsample.0"),
+                    "bn": bn(f"{base}.downsample.1"),
+                }
+            blist.append(bp)
+        p[f"layer{li}"] = blist
+    if "fc.weight" in sd:
+        p["fc"] = {
+            "w": jnp.asarray(n_(sd["fc.weight"]).T),
+            "b": jnp.asarray(n_(sd["fc.bias"])),
+        }
+    return p
