@@ -148,6 +148,63 @@ def batch_metrics(
     return BatchMetrics(hits=hits, tor=tor, path=path, point=point, num=num)
 
 
+def metrics_from_preds(
+    preds_global: jnp.ndarray,   # [L_all + 1, B] global-id argmax per depth (+ TOR row last)
+    logits_sorted: jnp.ndarray,  # [B, N] logits in depth-sorted class order
+    order: jnp.ndarray,          # [N] sorted-index -> global node id
+    target: jnp.ndarray,
+    chain: jnp.ndarray,          # [Lmax] padded chain (ancestors + self)
+    chain_len: jnp.ndarray,
+    chain_levels: jnp.ndarray,   # [Lmax] depth of each chain slot (PAD -> 0)
+    test_mask_sorted: jnp.ndarray,
+    topk: Sequence[int] = TOPK,
+    valid: Optional[jnp.ndarray] = None,
+) -> BatchMetrics:
+    """Metrics on the depth-sorted fast path (see ops/bank_topk.py
+    ``level_argmax_sorted``): identical results to :func:`batch_metrics`,
+    one pass over the logits for all level argmaxes instead of one per level.
+    """
+    maxk = max(topk)
+    masked = jnp.where(test_mask_sorted[None, :], logits_sorted, NEG)
+    _, pred_s = jax.lax.top_k(masked, maxk)
+    pred = order[pred_s]                      # [B, maxk] global ids
+    correct = pred == target
+    if valid is not None:
+        correct = correct & valid[:, None]
+    csum = jnp.cumsum(correct, axis=1)
+    ks = jnp.asarray([k - 1 for k in topk])
+    hits = csum[:, ks].sum(axis=0).astype(jnp.float32)
+
+    tor_pred = preds_global[-1]               # [B]
+    in_chain = (tor_pred[:, None] == chain[None, :]) & (chain[None, :] >= 0)
+    tor_hit = in_chain.any(axis=1)
+    if valid is not None:
+        tor_hit = tor_hit & valid
+    tor = tor_hit.sum().astype(jnp.float32)
+
+    # per-chain-slot predictions: pick the row of preds_global at the slot's depth
+    lvl_preds = preds_global[chain_levels]    # [Lmax, B]
+    preds = lvl_preds.T                       # [B, Lmax]
+    Lmax = chain.shape[0]
+    pos_valid = jnp.arange(Lmax)[None, :] < chain_len
+    match = (preds == chain[None, :]) & pos_valid
+    if valid is not None:
+        match = match & valid[:, None]
+    L = chain_len.astype(jnp.float32)
+    point = (match.sum(axis=1).astype(jnp.float32) / L).sum()
+    edge_pair = match[:, :-1] & match[:, 1:]
+    pair_valid = (jnp.arange(Lmax - 1)[None, :] + 1) < chain_len
+    edges = (edge_pair & pair_valid).sum().astype(jnp.float32)
+    path_single = match[:, 0].sum().astype(jnp.float32)
+    path = jnp.where(chain_len == 1, path_single, edges / jnp.maximum(L - 1.0, 1.0))
+
+    if valid is None:
+        num = jnp.asarray(logits_sorted.shape[0], jnp.float32)
+    else:
+        num = valid.sum().astype(jnp.float32)
+    return BatchMetrics(hits=hits, tor=tor, path=path, point=point, num=num)
+
+
 def accumulate(a: BatchMetrics, b: BatchMetrics) -> BatchMetrics:
     return BatchMetrics(*(x + y for x, y in zip(a, b)))
 

@@ -87,6 +87,9 @@ class TreeModel:
     params: Any = None           # CLIP param pytree (+ logit_scale)
     layer_weight: Any = None     # [n_levels] adaptive per-depth weight
     name_token_ids: Any = None   # per-node class-name BPE ids (CoOp prompts)
+    # depth-sorted fast-path tables (see ops/bank_topk.level_argmax_sorted):
+    depth_order: np.ndarray = None    # [N_pad] sorted-pos -> global node id
+    level_offsets: Tuple[int, ...] = None  # start offset of each depth (+ end)
 
     # ---- construction ----------------------------------------------------
     @classmethod
@@ -148,6 +151,16 @@ class TreeModel:
         level_sizes = hier.level_sizes.astype(np.float32)
         layer_weight = (1.0 / level_sizes) * config.scale  # clip_tree.py:70-74
 
+        # depth-sorted permutation: classes grouped by depth (stable, so the
+        # within-depth order keeps global-id order => argmax ties match the
+        # unsorted path), pads last
+        sort_key = np.where(depth < 0, np.iinfo(np.int32).max, depth)
+        depth_order = np.argsort(sort_key, kind="stable").astype(np.int32)
+        counts = [int((hier.depth == d).sum()) for d in range(n_levels)]
+        offsets = [0]
+        for c in counts:
+            offsets.append(offsets[-1] + c)
+
         return cls(
             config=config,
             clip_cfg=clip_cfg,
@@ -163,6 +176,8 @@ class TreeModel:
             test_mask=test_mask,
             layer_weight=jnp.asarray(layer_weight, jnp.float32),
             name_token_ids=name_token_ids,
+            depth_order=depth_order,
+            level_offsets=tuple(offsets),
         )
 
     # ---- params ----------------------------------------------------------
@@ -183,11 +198,24 @@ class TreeModel:
     def dtype(self):
         return jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
 
+    @property
+    def attn_fn(self):
+        """Pallas fused attention on TPU when enabled (ops/attention.py)."""
+        if self.config.use_pallas and jax.default_backend() != "cpu":
+            from .ops.attention import pallas_attention
+
+            return pallas_attention
+        return None
+
     def encode_image_fn(self, params, images):
-        return encode_image(params, self.clip_cfg, images, dtype=self.dtype)
+        return encode_image(
+            params, self.clip_cfg, images, dtype=self.dtype, attn_fn=self.attn_fn
+        )
 
     def encode_text_fn(self, params, tokens):
-        return encode_text(params, self.clip_cfg, tokens, dtype=self.dtype)
+        return encode_text(
+            params, self.clip_cfg, tokens, dtype=self.dtype, attn_fn=self.attn_fn
+        )
 
     @functools.cached_property
     def _update_classifier(self) -> Callable:
@@ -273,11 +301,58 @@ class TreeModel:
     def eval_step(
         self, params, bank, images, target: int, valid=None
     ) -> BatchMetrics:
-        """Full eval step for one single-class batch."""
+        """Full eval step for one single-class batch (unsorted bank)."""
         if valid is None:
             valid = jnp.ones(images.shape[0], bool)
         chain = jnp.asarray(self.chains[target])
         clen = jnp.asarray(self.chain_len[target])
         return self._eval_step(
             params, bank, images, jnp.asarray(target), chain, clen, valid
+        )
+
+    # ---- depth-sorted fast path (see ops/bank_topk.level_argmax_sorted) ---
+    @functools.cached_property
+    def _eval_step_sorted(self) -> Callable:
+        from .eval.metrics import metrics_from_preds
+        from .ops.bank_topk import level_argmax_sorted
+
+        order = jnp.asarray(self.depth_order)
+        train_s = jnp.asarray(self.train_mask[self.depth_order])
+        test_s = jnp.asarray(self.test_mask[self.depth_order])
+        offsets = self.level_offsets
+
+        def fn(params, bank_sorted, images, target, chain, chain_len,
+               chain_levels, valid):
+            feats = self.encode_image_fn(params, images)
+            logits_s = bank_logits(feats, bank_sorted)
+            preds_s = level_argmax_sorted(logits_s, offsets, train_s)
+            preds_global = order[preds_s]
+            return metrics_from_preds(
+                preds_global, logits_s, order, target, chain, chain_len,
+                chain_levels, test_s, valid=valid,
+            )
+
+        return jax.jit(fn)
+
+    def sort_bank(self, bank: jnp.ndarray) -> jnp.ndarray:
+        """Permute a [N_pad, D] bank into depth-sorted class order (once per
+        bank refresh, outside the per-batch step)."""
+        return bank[jnp.asarray(self.depth_order)]
+
+    def eval_step_sorted(
+        self, params, bank_sorted, images, target: int, valid=None
+    ) -> BatchMetrics:
+        """Fast-path eval step; ``bank_sorted`` from :meth:`sort_bank`.
+        Identical results to :meth:`eval_step`, one logits pass for all the
+        per-level constrained argmaxes instead of one pass per level."""
+        if valid is None:
+            valid = jnp.ones(images.shape[0], bool)
+        chain_np = self.chains[target]
+        levels = np.where(
+            chain_np >= 0, self.hier.depth[np.maximum(chain_np, 0)], 0
+        )
+        return self._eval_step_sorted(
+            params, bank_sorted, images, jnp.asarray(target),
+            jnp.asarray(chain_np), jnp.asarray(self.chain_len[target]),
+            jnp.asarray(levels.astype(np.int32)), valid,
         )

@@ -1,0 +1,89 @@
+"""Pallas-op tests (interpret mode / XLA fallbacks on CPU) + sorted fast path."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from hgr_tpu.models.layers import causal_mask  # noqa: E402
+from hgr_tpu.ops.attention import pallas_attention, reference_attention  # noqa: E402
+from hgr_tpu.ops.bank_topk import (  # noqa: E402
+    level_argmax_pallas,
+    level_argmax_sorted,
+    level_argmax_xla,
+)
+
+
+@pytest.mark.parametrize(
+    "shape,masked", [((2, 4, 77, 64), True), ((2, 2, 30, 40), False)]
+)
+def test_pallas_attention_interpret_matches_reference(shape, masked):
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3)
+    )
+    m = jnp.asarray(causal_mask(shape[2])) if masked else None
+    out_p = pallas_attention(q, k, v, m, interpret=True)
+    out_r = reference_attention(q, k, v, m)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-6)
+
+
+def _setup(B=16, N=512, n_depths=5, seed=0):
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((B, N)).astype(np.float32)
+    depth = rng.integers(0, n_depths, N).astype(np.int32)
+    train = rng.random(N) < 0.8
+    levels = np.asarray(list(range(n_depths)) + [-1], np.int32)
+    return logits, depth, train, levels
+
+
+def test_level_argmax_pallas_interpret_matches_xla():
+    logits, depth, train, levels = _setup()
+    p1 = level_argmax_pallas(
+        jnp.asarray(logits), jnp.asarray(levels), jnp.asarray(depth),
+        jnp.asarray(train), tile_n=128, tile_b=8, interpret=True,
+    )
+    p2 = level_argmax_xla(
+        jnp.asarray(logits), jnp.asarray(levels), jnp.asarray(depth),
+        jnp.asarray(train),
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_level_argmax_sorted_matches_xla():
+    logits, depth, train, levels = _setup(N=300, n_depths=4)
+    order = np.argsort(depth, kind="stable")
+    offsets = [0]
+    for d in range(4):
+        offsets.append(offsets[-1] + int((depth == d).sum()))
+    preds_s = level_argmax_sorted(
+        jnp.asarray(logits[:, order]), tuple(offsets),
+        jnp.asarray(train[order]),
+    )
+    preds_global = order[np.asarray(preds_s)]
+    want = level_argmax_xla(
+        jnp.asarray(logits), jnp.asarray(levels), jnp.asarray(depth),
+        jnp.asarray(train),
+    )
+    np.testing.assert_array_equal(preds_global, np.asarray(want))
+
+
+def test_sorted_eval_step_matches_unsorted(tiny_hierarchy):
+    from hgr_tpu.config import Config
+    from hgr_tpu.tree_model import TreeModel
+
+    h = tiny_hierarchy
+    cfg = Config(arch="TEST-RN", dtype="float32")
+    tm = TreeModel.build(cfg, h, pad_multiple=64)
+    tm.init_params(0)
+    bank = tm.update_classifier()
+    bank_s = tm.sort_bank(bank)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 32, 32, 3)), jnp.float32
+    )
+    for target in [0, int(h.level(h.max_depth)[0]), h.num_nodes - 1]:
+        m1 = tm.eval_step(tm.params, bank, imgs, target)
+        m2 = tm.eval_step_sorted(tm.params, bank_s, imgs, target)
+        for a, b in zip(m1, m2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
