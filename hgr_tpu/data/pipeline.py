@@ -53,31 +53,56 @@ class ImageSource(Protocol):
 
 
 class FileImageSource:
-    """PIL decode + CLIP transform with the corrupt-image fallback."""
+    """Image decode + CLIP transform with the corrupt-image fallback.
 
-    def __init__(self, resolution: int, image_root: str = ""):
+    Fast path: the native C++ decoder (libjpeg + fused bicubic resize +
+    normalize, see ``native/``) called via ctypes — releases the GIL so the
+    thread pool scales across cores. Falls back to PIL for non-JPEG files or
+    when the native library is unavailable.
+    """
+
+    def __init__(self, resolution: int, image_root: str = "",
+                 native: bool = True):
         self.resolution = resolution
         self.image_root = image_root
+        self.native = native
+        if native:
+            from .native import load_native
 
-    def _open(self, path: str):
-        from PIL import Image
+            self.native = load_native() is not None
 
+    def _path(self, path: str) -> str:
         if self.image_root:
             import os
 
             path = os.path.join(self.image_root, path)
-        return Image.open(path)
+        return path
 
-    def load(self, class_name: str, paths: Sequence[str], idx: int) -> np.ndarray:
+    def _load_one(self, path: str) -> np.ndarray:
+        path = self._path(path)
+        if self.native and path.lower().endswith((".jpg", ".jpeg")):
+            from .native import decode_resize
+
+            with open(path, "rb") as f:
+                data = f.read()
+            out = decode_resize(data, self.resolution)
+            if out is not None:
+                return out
+            # fall through to PIL on native decode failure
+        from PIL import Image
+
         from .transforms import preprocess_pil
 
+        img = Image.open(path).convert("RGB")
+        return preprocess_pil(img, self.resolution)
+
+    def load(self, class_name: str, paths: Sequence[str], idx: int) -> np.ndarray:
         try:
-            img = self._open(paths[idx]).convert("RGB")
+            return self._load_one(paths[idx])
         except Exception:
             # reference semantics: fall back to the class's first image
             # (dataset/imagenet.py:149-152)
-            img = self._open(paths[0]).convert("RGB")
-        return preprocess_pil(img, self.resolution)
+            return self._load_one(paths[0])
 
 
 class SyntheticImageSource:
