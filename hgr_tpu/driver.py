@@ -248,6 +248,21 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
     )
     node_tokens = jnp.asarray(tm.node_tokens)
 
+    # multi-replica SPMD: one class per replica per step (train/spmd.py)
+    n_replicas = 1
+    spmd_step = None
+    if len(jax.devices()) > 1 and config.mesh_model >= 1 and config.mesh_data != 1:
+        from .parallel.mesh import make_mesh
+        from .train.spmd import make_spmd_train_step, stack_schedules
+
+        mesh = make_mesh(data=config.mesh_data, model=config.mesh_model)
+        n_replicas = mesh.shape["data"]
+        if n_replicas > 1:
+            spmd_step = make_spmd_train_step(
+                config, tm.clip_cfg, tx, mesh, dtype=tm.dtype,
+                donate=config.donate, text_fn=text_fn,
+            )
+
     logger.log_config(config)
     for epoch in range(config.from_epoch + 1, config.epochs):
         if config.sample_strategy in ("simi", "near_simi"):
@@ -257,13 +272,33 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
             sampler.set_class_feats(
                 np.asarray(bank[: tm.hier.num_nodes], np.float32)
             )
-        for i, batch in enumerate(loader):
-            sched = sched_to_device(builder.build(batch.target))
-            state, loss = step_fn(
-                state, jnp.asarray(batch.images, tm.dtype), node_tokens, sched
-            )
-            if i % config.print_freq == 0:
-                logger.log_train(epoch, i, num_batches, float(loss))
+        if spmd_step is not None:
+            from .train.spmd import stack_schedules
+
+            it = iter(loader)
+            steps = num_batches // n_replicas
+            for i in range(steps):
+                batches = [next(it) for _ in range(n_replicas)]
+                scheds = stack_schedules(
+                    [builder.build(b.target) for b in batches]
+                )
+                images = jnp.asarray(
+                    np.stack([b.images for b in batches]), tm.dtype
+                )
+                state, loss = spmd_step(
+                    state, images, node_tokens,
+                    {k: jnp.asarray(v) for k, v in scheds.items()},
+                )
+                if i % config.print_freq == 0:
+                    logger.log_train(epoch, i, steps, float(loss))
+        else:
+            for i, batch in enumerate(loader):
+                sched = sched_to_device(builder.build(batch.target))
+                state, loss = step_fn(
+                    state, jnp.asarray(batch.images, tm.dtype), node_tokens, sched
+                )
+                if i % config.print_freq == 0:
+                    logger.log_train(epoch, i, num_batches, float(loss))
         tm.params = state.params["clip"]
         tm.layer_weight = state.params["layer_weight"]
         if config.coop:
