@@ -140,6 +140,20 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
         )
     else:
         bank = tm.update_classifier()
+
+    # multi-chip eval: class bank sharded over the model axis, image batches
+    # over data; the jitted eval step picks the shardings up from its inputs
+    bank_s = tm.sort_bank(bank)
+    batch_sharding = None
+    if len(jax.devices()) > 1 and (config.mesh_model > 1 or config.mesh_data != 1):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import DATA, MODEL, make_mesh
+
+        mesh = make_mesh(data=config.mesh_data, model=config.mesh_model)
+        bank_s = jax.device_put(bank_s, NamedSharding(mesh, P(MODEL, None)))
+        batch_sharding = NamedSharding(mesh, P(DATA))
+
     grouped = _grouped_split(
         config, config.data_split_test, splits[config.data_test], splits
     )
@@ -156,10 +170,13 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     t0 = time.time()
     n_img = 0
     for i, batch in enumerate(loader):
-        m = tm.eval_step(
+        images = jnp.asarray(batch.images, tm.dtype)
+        if batch_sharding is not None:
+            images = jax.device_put(images, batch_sharding)
+        m = tm.eval_step_sorted(
             tm.params,
-            bank,
-            jnp.asarray(batch.images, tm.dtype),
+            bank_s,
+            images,
             batch.target,
             valid=jnp.asarray(batch.valid),
         )
