@@ -153,6 +153,8 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
         mesh = make_mesh(data=config.mesh_data, model=config.mesh_model)
         bank_s = jax.device_put(bank_s, NamedSharding(mesh, P(MODEL, None)))
         batch_sharding = NamedSharding(mesh, P(DATA))
+        # params must live on the same device set (replicated)
+        tm.params = jax.device_put(tm.params, NamedSharding(mesh, P()))
 
     grouped = _grouped_split(
         config, config.data_split_test, splits[config.data_test], splits
