@@ -1,0 +1,393 @@
+"""Baseline runner CLI: train + hierarchically evaluate each baseline family.
+
+The reference ships one ad-hoc CLI per baseline, each re-implementing the
+hierarchy tables and the full eval-metric block (SURVEY §2.4:
+``baseline/CLIP/clip_train.py``, ``baseline/DGP/train_*.py`` +
+``evaluate_imagenet.py``, ``baseline/CNZSL/cnzsl.py``, ``baseline/FREE/``).
+Here one runner drives all of them through the SHARED hierarchy + metric
+engine:
+
+  python -m hgr_tpu.baselines.run --baseline cnzsl --synthetic True
+  python -m hgr_tpu.baselines.run --baseline gcn --variant dense_att ...
+  python -m hgr_tpu.baselines.run --baseline free ...
+  python -m hgr_tpu.baselines.run --baseline clip_flat --arch TEST-RN ...
+
+Feature inputs: with ``--synthetic`` the frozen-backbone features are
+fabricated as class prototypes (a linear map of the class embedding) plus
+noise, so every baseline's learning signal is real and the hierarchical
+metrics are meaningful end-to-end without ImageNet. With real data, features
+come from the standard ResNet-50 extractor (``models/resnet_std.py``) over
+the split manifests, and class embeddings from ``text_feats.json``
+(``tools/export_text_feats.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def build_eval_tables(hier, splits):
+    """Padded arrays for the shared metric engine (like TreeModel.build)."""
+    n = hier.num_nodes
+    train_ids = hier.ids(splits["all"])
+    test_ids = hier.ids(splits["rest"])
+    train_mask = np.zeros(n, bool)
+    train_mask[train_ids] = True
+    test_mask = np.zeros(n, bool)
+    test_mask[test_ids] = True
+    lmax = hier.max_chain + 1
+    chains = np.full((n, lmax), -1, np.int32)
+    chain_len = np.zeros(n, np.int32)
+    for i in range(n):
+        c = hier.chain_with_self(i)
+        chains[i, : len(c)] = c
+        chain_len[i] = len(c)
+    return train_mask, test_mask, chains, chain_len
+
+
+def synthetic_problem(hier, splits, feat_dim=64, attr_dim=32, seed=0):
+    """Class embeddings + per-class feature prototypes with a learnable
+    attr->feature relationship."""
+    rng = np.random.default_rng(seed)
+    n = hier.num_nodes
+    attrs = rng.standard_normal((n, attr_dim)).astype(np.float32)
+    attrs /= np.linalg.norm(attrs, axis=1, keepdims=True)
+    W = rng.standard_normal((attr_dim, feat_dim)).astype(np.float32) / np.sqrt(attr_dim)
+    protos = attrs @ W
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    return attrs, protos
+
+
+def sample_feats(protos, cls, batch, noise, rng):
+    f = protos[cls][None, :] + noise * rng.standard_normal(
+        (batch, protos.shape[1])
+    ).astype(np.float32)
+    return f.astype(np.float32)
+
+
+def evaluate_logit_model(
+    logit_fn, hier, splits, protos, noise, batch, n_batches_per_class, seed=0
+):
+    """Grouped synthetic eval through the shared metric engine."""
+    import jax.numpy as jnp
+
+    from ..eval.metrics import accumulate, batch_metrics, summarize, zeros_metrics
+
+    rng = np.random.default_rng(seed + 1)
+    train_mask, test_mask, chains, chain_len = build_eval_tables(hier, splits)
+    node_depth = hier.depth.astype(np.int32)
+    total = zeros_metrics()
+    for wnid in splits["rest"]:
+        c = hier.name_to_id[wnid]
+        for _ in range(n_batches_per_class):
+            feats = sample_feats(protos, c, batch, noise, rng)
+            logits = np.asarray(logit_fn(feats))
+            total = accumulate(
+                total,
+                batch_metrics(
+                    jnp.asarray(logits),
+                    jnp.asarray(c),
+                    jnp.asarray(chains[c]),
+                    jnp.asarray(chain_len[c]),
+                    jnp.asarray(node_depth),
+                    jnp.asarray(train_mask),
+                    jnp.asarray(test_mask),
+                ),
+            )
+    return summarize(total)
+
+
+def run_cnzsl(args, hier, splits, attrs, protos):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .cnzsl import CNZSLConfig, cnzsl_init, cnzsl_logits, make_cnzsl_train_step
+
+    cfg = CNZSLConfig(attr_dim=attrs.shape[1], proto_dim=protos.shape[1],
+                      hid_dim=args.hid_dim)
+    params, state = cnzsl_init(jax.random.PRNGKey(args.seed), cfg)
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+    step = make_cnzsl_train_step(cfg, tx)
+
+    seen_ids = hier.ids(splits["train"])
+    seen_attrs = jnp.asarray(attrs[seen_ids])
+    rng = np.random.default_rng(args.seed)
+    for i in range(args.steps):
+        labels = rng.integers(0, len(seen_ids), args.batch)
+        feats = np.stack([
+            sample_feats(protos, int(seen_ids[l]), 1, args.noise, rng)[0]
+            for l in labels
+        ])
+        params, state, opt, loss = step(
+            params, state, opt, jnp.asarray(feats), seen_attrs,
+            jnp.asarray(labels),
+        )
+        if i % max(1, args.steps // 5) == 0:
+            print(f"step {i}: loss {float(loss):.3f}", flush=True)
+
+    all_attrs = jnp.asarray(attrs)
+
+    def logit_fn(feats):
+        logits, _ = cnzsl_logits(
+            params, state, jnp.asarray(feats), all_attrs, cfg, training=False
+        )
+        return logits
+
+    return logit_fn
+
+
+def run_gcn(args, hier, splits, attrs, protos):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .gcn import (
+        Adjacency,
+        GCNConfig,
+        basic_edges,
+        dense_edges,
+        gcn_apply,
+        gcn_init,
+        make_gcn_train_step,
+    )
+
+    n = hier.num_nodes
+    if args.variant == "basic":
+        adj = [Adjacency.build(basic_edges(hier), n)]
+        r_adj = None
+        mode, hops = "basic", 1
+    else:
+        groups = dense_edges(hier, max_hops=4)
+        adj = [Adjacency.build(g, n) for g in groups]
+        r_adj = [Adjacency.build(g, n, transpose=True) for g in groups]
+        mode = "dense_att" if args.variant == "dense_att" else "dense"
+        hops = len(groups)
+        if mode == "dense":
+            adj, r_adj = adj[:1], r_adj[:1]
+    cfg = GCNConfig(n=n, in_channels=attrs.shape[1], out_channels=protos.shape[1],
+                    hidden_layers=str(args.hid_dim), mode=mode, n_hops=hops)
+    params = gcn_init(jax.random.PRNGKey(args.seed), cfg)
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+    step = make_gcn_train_step(cfg, tx, adj, r_adj)
+
+    seen_ids = jnp.asarray(hier.ids(splits["train"]).astype(np.int64))
+    fc_vectors = jnp.asarray(protos)  # already normalized
+    x = jnp.asarray(attrs)
+    for i in range(args.steps):
+        params, opt, loss = step(params, opt, x, fc_vectors, seen_ids, None)
+        if i % max(1, args.steps // 5) == 0:
+            print(f"epoch {i}: loss {float(loss):.5f}", flush=True)
+
+    pred = gcn_apply(params, cfg, x, adj, r_adj)  # [N, D] normalized
+
+    def logit_fn(feats):
+        f = jnp.asarray(feats)
+        f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+        return f @ pred.T
+
+    return logit_fn
+
+
+def run_free(args, hier, splits, attrs, protos):
+    import jax
+    import jax.numpy as jnp
+
+    from .free import (
+        FREEConfig,
+        free_init,
+        make_free_steps,
+        other_labels,
+        synthesize_features,
+        train_softmax_classifier,
+    )
+
+    seen_ids = hier.ids(splits["train"])
+    cfg = FREEConfig(
+        res_size=protos.shape[1], att_size=attrs.shape[1],
+        latent_size=attrs.shape[1], ngh=4 * protos.shape[1],
+        ndh=4 * protos.shape[1], nclass_seen=len(seen_ids),
+        center_margin=20.0, syn_num=args.syn_num,
+    )
+    params = free_init(jax.random.PRNGKey(args.seed), cfg)
+    d_step, g_step, init_opts = make_free_steps(cfg)
+    optD, optFR, optC, optEG = init_opts(params)
+    key = jax.random.PRNGKey(args.seed + 1)
+    rng = np.random.default_rng(args.seed)
+
+    # features live in [0,1] for the sigmoid generator (reference preprocesses
+    # with MinMaxScaler in classifier.py); shift prototypes accordingly
+    protos01 = (protos - protos.min()) / (protos.max() - protos.min())
+
+    for i in range(args.steps):
+        labels = rng.integers(0, len(seen_ids), args.batch)
+        feats = np.stack([
+            np.clip(
+                protos01[seen_ids[l]]
+                + args.noise * rng.standard_normal(protos.shape[1]),
+                0, 1,
+            )
+            for l in labels
+        ]).astype(np.float32)
+        att = jnp.asarray(attrs[seen_ids[labels]])
+        featj = jnp.asarray(feats)
+        labj = jnp.asarray(labels)
+        for _ in range(cfg.critic_iter):
+            key, k1, k2 = jax.random.split(key, 3)
+            ol = other_labels(k1, labj, len(seen_ids))
+            params, optD, optFR, optC, d_cost, wass, gp = d_step(
+                params, optD, optFR, optC, featj, att, labj, ol,
+                jnp.asarray(cfg.lambda1), k2,
+            )
+        key, k3 = jax.random.split(key)
+        params, optEG, g_loss = g_step(params, optEG, featj, att, k3)
+        if i % max(1, args.steps // 5) == 0:
+            print(f"step {i}: D {float(d_cost):.3f} G {float(g_loss):.3f}",
+                  flush=True)
+
+    # synthesize features for ALL classes, train a softmax over the full set
+    key, ks, kc = jax.random.split(key, 3)
+    syn, syn_labels = synthesize_features(
+        params, cfg, jnp.asarray(attrs), args.syn_num, ks
+    )
+    clf = train_softmax_classifier(
+        kc, syn, syn_labels, hier.num_nodes, lr=args.lr, epochs=3,
+        batch=min(512, syn.shape[0]),
+    )
+
+    def logit_fn(feats):
+        f01 = np.clip(
+            (feats - protos.min()) / (protos.max() - protos.min()), 0, 1
+        )
+        return jnp.asarray(f01) @ clf["w"] + clf["b"]
+
+    # evaluation features must go through the same 0-1 mapping
+    def logit_fn_raw(feats):
+        return logit_fn(feats)
+
+    return logit_fn_raw
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("hgr_tpu baselines")
+    ap.add_argument("--baseline", required=True,
+                    choices=["cnzsl", "gcn", "free", "clip_flat"])
+    ap.add_argument("--variant", default="dense_att",
+                    choices=["basic", "dense", "dense_att"])
+    ap.add_argument("--synthetic", type=lambda s: s.lower() == "true",
+                    default=True)
+    ap.add_argument("--graph_path", default="")
+    ap.add_argument("--split_path", default="")
+    ap.add_argument("--feat_dim", type=int, default=64)
+    ap.add_argument("--attr_dim", type=int, default=32)
+    ap.add_argument("--hid_dim", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--eval_batch", type=int, default=16)
+    ap.add_argument("--eval_batches_per_class", type=int, default=1)
+    ap.add_argument("--noise", type=float, default=0.15)
+    ap.add_argument("--syn_num", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arch", default="TEST-RN")
+    args = ap.parse_args(argv)
+
+    from ..hierarchy import Hierarchy, synthetic_hierarchy
+
+    if args.synthetic or not args.graph_path:
+        hier = synthetic_hierarchy(3, 4, 5, args.seed)
+        rng = np.random.default_rng(args.seed)
+        names = list(hier.names)
+        perm = rng.permutation(len(names))
+        n_train = len(names) * 2 // 3
+        splits = {
+            "train": [names[i] for i in sorted(perm[:n_train])],
+            "rest": [names[i] for i in sorted(perm[n_train:])],
+        }
+        splits["all"] = splits["train"] + splits["rest"]
+    else:
+        hier = Hierarchy.from_json(args.graph_path)
+        splits = json.load(open(args.split_path))
+
+    if args.baseline == "clip_flat":
+        run_clip_flat(args, hier, splits)
+        return
+
+    attrs, protos = synthetic_problem(
+        hier, splits, args.feat_dim, args.attr_dim, args.seed
+    )
+    runner = {"cnzsl": run_cnzsl, "gcn": run_gcn, "free": run_free}[args.baseline]
+    logit_fn = runner(args, hier, splits, attrs, protos)
+    summary = evaluate_logit_model(
+        logit_fn, hier, splits, protos, args.noise, args.eval_batch,
+        args.eval_batches_per_class, args.seed,
+    )
+    from ..utils.logging import format_report
+
+    print(format_report(summary), flush=True)
+    print(json.dumps({"baseline": args.baseline, **summary}), flush=True)
+    return summary
+
+
+def run_clip_flat(args, hier, splits):
+    """CLIP flat fine-tune on synthetic images + shared eval."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..config import Config
+    from ..tree_model import TreeModel
+    from .clip_flat import make_flat_train_step
+
+    cfg = Config(arch=args.arch, dtype="float32")
+    tm = TreeModel.build(cfg, hier, candidates_train=splits["all"],
+                         candidates_test=splits["rest"], pad_multiple=64,
+                         seed=args.seed)
+    tm.init_params(args.seed)
+    seen_ids = hier.ids(splits["train"])
+    seen_tokens = jnp.asarray(tm.node_tokens[seen_ids])
+    params = {"clip": tm.params}
+    tx = optax.adamw(args.lr)
+    opt = tx.init(params)
+    step = make_flat_train_step(tm.clip_cfg, tx, dtype=jnp.float32)
+    rng = np.random.default_rng(args.seed)
+    res = tm.clip_cfg.image_resolution
+    for i in range(args.steps):
+        labels = rng.integers(0, len(seen_ids), args.batch)
+        images = rng.standard_normal((args.batch, res, res, 3)).astype(np.float32)
+        params, opt, loss = step(
+            params, opt, jnp.asarray(images), seen_tokens, jnp.asarray(labels)
+        )
+        if i % max(1, args.steps // 5) == 0:
+            print(f"step {i}: loss {float(loss):.3f}", flush=True)
+    tm.params = params["clip"]
+
+    from ..eval.metrics import accumulate, summarize, zeros_metrics
+
+    bank = tm.update_classifier()
+    bank_s = tm.sort_bank(bank)
+    total = zeros_metrics()
+    for wnid in splits["rest"]:
+        c = hier.name_to_id[wnid]
+        images = jnp.asarray(
+            rng.standard_normal((args.eval_batch, res, res, 3)), jnp.float32
+        )
+        total = accumulate(
+            total, tm.eval_step_sorted(tm.params, bank_s, images, c)
+        )
+    summary = summarize(total)
+    from ..utils.logging import format_report
+
+    print(format_report(summary), flush=True)
+    print(json.dumps({"baseline": "clip_flat", **summary}), flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    main()
