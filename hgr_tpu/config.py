@@ -57,6 +57,7 @@ class Config:
     n_episodes: int = -1
     data_split_train: str = "train"
     data_split_test: str = "zsl_test"
+    hops_path: str = ""  # optional splits_for_hops.json; merges hop2/hop3/... keys
     image_root: str = ""  # prefix joined to manifest-relative image paths
 
     # train (main.py:46-62)

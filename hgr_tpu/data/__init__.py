@@ -1,5 +1,6 @@
 from .pipeline import (
     FileImageSource,
+    FlatTrainLoader,
     GroupBatch,
     GroupedTestLoader,
     GroupedTrainLoader,
@@ -11,6 +12,7 @@ from .transforms import CLIP_MEAN, CLIP_STD, preprocess_pil
 
 __all__ = [
     "FileImageSource",
+    "FlatTrainLoader",
     "GroupBatch",
     "GroupedTestLoader",
     "GroupedTrainLoader",

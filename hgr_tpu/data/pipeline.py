@@ -256,6 +256,67 @@ class GroupedTrainLoader:
         return iter(_Prefetcher(gen, depth=self._prefetch))
 
 
+class FlatTrainLoader:
+    """Shuffled multi-class batches (images + per-row labels) — the
+    reference's plain ``ImageNet`` Dataset + DataLoader path used by the
+    flat fine-tune / FREE / CNZSL baselines (``dataset/imagenet.py:63-161``,
+    ``baseline/FREE/train_free.py:246-247``)."""
+
+    def __init__(
+        self,
+        grouped: Dict[str, List[str]],
+        class_ids: Dict[str, int],
+        source: ImageSource,
+        batch_size: int,
+        seed: int = 0,
+        num_threads: int = 8,
+        prefetch: int = 4,
+        drop_last: bool = True,
+    ):
+        self.items: List[Tuple[str, int, int]] = []  # (cls, idx, label)
+        self.grouped = grouped
+        for cls, paths in grouped.items():
+            for i in range(len(paths)):
+                self.items.append((cls, i, class_ids[cls]))
+        self.batch_size = batch_size
+        self.source = source
+        self.rng = np.random.default_rng(seed)
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._prefetch = prefetch
+        self.drop_last = drop_last
+        n = len(self.items)
+        self.num_batches = n // batch_size if drop_last else (n + batch_size - 1) // batch_size
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self):
+        order = self.rng.permutation(len(self.items))
+
+        def gen():
+            B = self.batch_size
+            for s in range(self.num_batches):
+                idxs = order[s * B : (s + 1) * B]
+                rows = [self.items[i] for i in idxs]
+                imgs = list(
+                    self._pool.map(
+                        lambda r: self.source.load(r[0], self.grouped[r[0]], r[1]),
+                        rows,
+                    )
+                )
+                h, w, c = imgs[0].shape
+                out = np.zeros((B, h, w, c), np.float32)
+                valid = np.zeros(B, bool)
+                labels = np.zeros(B, np.int32)
+                for j, (im, r) in enumerate(zip(imgs, rows)):
+                    out[j] = im
+                    labels[j] = r[2]
+                    valid[j] = True
+                yield out, labels, valid
+
+        return iter(_Prefetcher(gen, depth=self._prefetch))
+
+
 class GroupedTestLoader:
     """Deterministic eval loader: every batch of every class, in order."""
 

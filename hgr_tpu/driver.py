@@ -53,6 +53,11 @@ def build_hierarchy(config: Config) -> Tuple[Hierarchy, Dict[str, list]]:
     hier = Hierarchy.from_json(config.graph_path)
     with open(config.split_path) as f:
         splits = json.load(f)
+    if config.hops_path:
+        # hop2/hop3/hop3_pure class lists (data/hops.py outputs) become
+        # addressable via --model_test/--data_test
+        with open(config.hops_path) as f:
+            splits.update(json.load(f))
     return hier, splits
 
 
@@ -197,6 +202,69 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     return summary
 
 
+def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
+    """Flat CE fine-tune: ``--training_method flat`` — accepted but silently
+    unimplemented in the reference (``main.py:55``, ``model/clip_tree.py:222``,
+    SURVEY appendix item 6); implemented here via the CLIP-flat baseline step
+    (shuffled multi-class batches, CE over seen-class cosine logits)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .baselines.clip_flat import make_flat_train_step
+    from .data import FlatTrainLoader
+    from .train.schedule import cosine_lr
+    from .utils.checkpoint import save_checkpoint
+
+    grouped = _grouped_split(
+        config, config.data_split_train, splits[config.data_train], splits
+    )
+    seen_ids = tm.hier.ids(splits["train"])
+    seen_pos = {int(c): i for i, c in enumerate(seen_ids)}
+    loader = FlatTrainLoader(
+        grouped,
+        {c: tm.hier.name_to_id[c] for c in grouped},
+        _image_source(config, tm.clip_cfg.image_resolution),
+        config.batch_size,
+        seed=config.seed,
+        num_threads=config.num_workers,
+    )
+    seen_tokens = jnp.asarray(tm.node_tokens[seen_ids])
+    total_steps = config.epochs * max(1, len(loader))
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adamw(cosine_lr(config.lr, config.warmup_length, total_steps),
+                    weight_decay=config.wd),
+    )
+    params = {"clip": tm.params}
+    opt = tx.init(params)
+    step = make_flat_train_step(tm.clip_cfg, tx, dtype=tm.dtype)
+    logger.log_config(config)
+    for epoch in range(config.from_epoch + 1, config.epochs):
+        for i, (images, labels, valid) in enumerate(loader):
+            labels = np.asarray([seen_pos.get(int(l), 0) for l in labels])
+            params, opt, loss = step(
+                params, opt, jnp.asarray(images, tm.dtype), seen_tokens,
+                jnp.asarray(labels),
+            )
+            if i % config.print_freq == 0:
+                logger.log_train(epoch, i, len(loader), float(loss))
+        tm.params = params["clip"]
+
+        class _S:  # minimal TrainState-shaped payload for the checkpointer
+            pass
+
+        s = _S()
+        s.params = {"clip": tm.params, "layer_weight": tm.layer_weight}
+        s.opt_state = opt
+        s.step = jnp.asarray((epoch + 1) * len(loader), jnp.int32)
+        save_checkpoint(config.save_path, epoch, s)
+        logger.log_text(f"Model saved. epoch={epoch}")
+        if config.test_after_train:
+            run_test(config, tm, splits, logger)
+    return params
+
+
 def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
     """OM fine-tuning (reference ``train()`` + driver, ``main.py:72-101,
     225-258``)."""
@@ -337,7 +405,10 @@ def main(argv=None) -> None:
     logger = RunLogger(config.save_path)
     if config.train:
         print("Training.", flush=True)
-        run_train(config, tm, splits, logger)
+        if config.training_method == "flat":
+            run_train_flat(config, tm, splits, logger)
+        else:
+            run_train(config, tm, splits, logger)
     else:
         print("Direct testing.", flush=True)
         run_test(config, tm, splits, logger)
