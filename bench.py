@@ -59,7 +59,10 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(iters):
         m = tm.eval_step_sorted(tm.params, bank_s, images, target)
-    jax.block_until_ready(m)
+    # fetch the final metrics: device execution is in-order, so
+    # materializing the last step's output drains the whole queue —
+    # block_until_ready alone is not trustworthy through remote tunnels
+    np.asarray(m.num)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt
