@@ -150,6 +150,7 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     # over data; the jitted eval step picks the shardings up from its inputs
     bank_s = tm.sort_bank(bank)
     batch_sharding = None
+    sharded_step = None
     if len(jax.devices()) > 1 and (config.mesh_model > 1 or config.mesh_data != 1):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -160,6 +161,12 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
         batch_sharding = NamedSharding(mesh, P(DATA))
         # params must live on the same device set (replicated)
         tm.params = jax.device_put(tm.params, NamedSharding(mesh, P()))
+        if config.mesh_model > 1:
+            # explicit-collective path: local top-k + ICI merge instead of
+            # letting GSPMD all-gather the full logit matrix
+            from .parallel.eval_spmd import make_sharded_eval_step
+
+            sharded_step = make_sharded_eval_step(tm, mesh)
 
     grouped = _grouped_split(
         config, config.data_split_test, splits[config.data_test], splits
@@ -180,11 +187,11 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
         images = jnp.asarray(batch.images, tm.dtype)
         if batch_sharding is not None:
             images = jax.device_put(images, batch_sharding)
-        m = tm.eval_step_sorted(
-            tm.params,
-            bank_s,
-            images,
-            batch.target,
+        eval_fn = sharded_step if sharded_step is not None else (
+            lambda p, b, im, t, valid: tm.eval_step_sorted(p, b, im, t, valid=valid)
+        )
+        m = eval_fn(
+            tm.params, bank_s, images, batch.target,
             valid=jnp.asarray(batch.valid),
         )
         total = accumulate(total, m)
