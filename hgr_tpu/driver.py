@@ -184,7 +184,9 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     t0 = time.time()
     n_img = 0
     for i, batch in enumerate(loader):
-        images = jnp.asarray(batch.images, tm.dtype)
+        # transfer f32 and let the jitted step cast to bf16 on device —
+        # host-side ml_dtypes bf16 conversion is far slower than the copy
+        images = jnp.asarray(batch.images)
         if batch_sharding is not None:
             images = jax.device_put(images, batch_sharding)
         eval_fn = sharded_step if sharded_step is not None else (
@@ -251,7 +253,7 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
         for i, (images, labels, valid) in enumerate(loader):
             labels = np.asarray([seen_pos.get(int(l), 0) for l in labels])
             params, opt, loss = step(
-                params, opt, jnp.asarray(images, tm.dtype), seen_tokens,
+                params, opt, jnp.asarray(images), seen_tokens,
                 jnp.asarray(labels),
             )
             if i % config.print_freq == 0:
@@ -376,9 +378,7 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
                 scheds = stack_schedules(
                     [builder.build(b.target) for b in batches]
                 )
-                images = jnp.asarray(
-                    np.stack([b.images for b in batches]), tm.dtype
-                )
+                images = jnp.asarray(np.stack([b.images for b in batches]))
                 state, loss = spmd_step(
                     state, images, node_tokens,
                     {k: jnp.asarray(v) for k, v in scheds.items()},
@@ -389,7 +389,7 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
             for i, batch in enumerate(loader):
                 sched = sched_to_device(builder.build(batch.target))
                 state, loss = step_fn(
-                    state, jnp.asarray(batch.images, tm.dtype), node_tokens, sched
+                    state, jnp.asarray(batch.images), node_tokens, sched
                 )
                 if i % config.print_freq == 0:
                     logger.log_train(epoch, i, num_batches, float(loss))
