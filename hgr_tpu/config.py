@@ -110,6 +110,9 @@ class Config:
     dtype: str = "bfloat16"        # activation/compute dtype
     param_dtype: str = "float32"   # master params + optimizer state
     use_pallas: bool = True        # pallas kernels where profitable (TPU only)
+    remat: bool = True             # rematerialize encoder activations in backward
+    # (required at reference scale: the non-remat OM backward over ~1.8k
+    # deduped prompts exceeds compile-time memory on v5e)
     vocab_path: str = ""           # BPE merges file; "" = default search paths
     names_path: str = ""           # wnid -> class-name JSON (WordNet offline export)
     donate: bool = True

@@ -93,7 +93,7 @@ def make_train_step(
         config.training_method,
         config.weights,
         config.weighting,
-        remat=False,
+        remat=getattr(config, "remat", False),
         text_fn=text_fn,
     )
 
