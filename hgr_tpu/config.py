@@ -86,6 +86,9 @@ class Config:
     load: bool = False
     load_path: str = "none"
     from_epoch: int = -1
+    resume: bool = False  # full resume: params + optimizer state + step from
+    # {save_path}/clip_{from_epoch} (the reference only restores weights —
+    # SURVEY appendix item 7)
 
     # ---- CoOp learned-prompt variant (model/clip_coop.py, model/CoOp.py) --
     coop: bool = False

@@ -113,7 +113,13 @@ def _image_source(config: Config, resolution: int):
 def _grouped_split(config: Config, split: str, candidates, splits) -> Dict[str, list]:
     if getattr(config, "synthetic", False):
         per = config.synthetic_images_per_class
-        return {c: [f"{c}/{j}.jpg" for j in range(per)] for c in candidates}
+        grouped = {c: [f"{c}/{j}.jpg" for j in range(per)] for c in candidates}
+        if config.k_shots > 0:
+            grouped = kshot_subsample(
+                grouped, unseen=splits["rest"], k_shots=config.k_shots,
+                seed=config.seed,
+            )
+        return grouped
     manifest_path = os.path.join(
         os.path.dirname(config.split_path), f"{split}_split.json"
     )
@@ -321,6 +327,12 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
     tx = make_optimizer(config, total_steps, extra_labels=extra_labels)
     state = init_train_state(tm.params, tm.layer_weight, tx,
                              extra_params=extra_params)
+    if config.resume and config.from_epoch >= 0:
+        from .utils.checkpoint import restore_checkpoint
+
+        ckpt = os.path.join(config.save_path, f"clip_{config.from_epoch}")
+        state = restore_checkpoint(ckpt, state)
+        logger.log_text(f"resumed full state from {ckpt} (step {int(state.step)})")
     step_fn = make_train_step(config, tm.clip_cfg, tx, dtype=tm.dtype,
                               donate=config.donate, text_fn=text_fn)
 

@@ -1,0 +1,129 @@
+"""Serving API: batched zero-shot classification against the class bank.
+
+The deployment-facing surface (the reference stops at an eval script): build
+the classifier bank once, then classify image batches at full device speed —
+flat top-k labels with cosine scores, plus hierarchical root-path prediction
+via the same depth-sorted one-pass argmax the evaluator uses.
+
+    clf = ZeroShotClassifier(tm)           # tm: a built TreeModel w/ params
+    clf.refresh_bank()                     # re-encode prompts (e.g. after FT)
+    ids, scores = clf.classify(images, k=5)
+    paths = clf.predict_paths(images)      # [B, n_levels] global node ids
+    wnids = clf.classify_files(paths_on_disk, k=5)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .eval.bank import bank_logits
+from .eval.metrics import NEG
+from .ops.bank_topk import level_argmax_sorted
+
+
+class ZeroShotClassifier:
+    """Batched zero-shot inference over a TreeModel's class bank.
+
+    ``candidates``: "test" restricts predictions to unseen classes (the
+    reference's zero-shot protocol), "train" to candidate classes, "all" to
+    every real node.
+    """
+
+    def __init__(self, tm, candidates: str = "all"):
+        self.tm = tm
+        n = tm.hier.num_nodes
+        real = np.zeros(tm.n_pad, bool)
+        real[:n] = True
+        mask = {
+            "all": real,
+            "test": tm.test_mask & real,
+            "train": tm.train_mask & real,
+        }[candidates]
+        self._mask_sorted = jnp.asarray(mask[tm.depth_order])
+        self._order = jnp.asarray(tm.depth_order)
+        self._train_sorted = jnp.asarray(tm.train_mask[tm.depth_order])
+        self.bank_sorted: Optional[jnp.ndarray] = None
+
+    def refresh_bank(self, params=None) -> None:
+        """(Re-)encode all node prompts into the depth-sorted bank."""
+        bank = self.tm.update_classifier(params)
+        self.bank_sorted = self.tm.sort_bank(bank)
+
+    @functools.cached_property
+    def _classify(self):
+        order, mask = self._order, self._mask_sorted
+
+        def fn(params, bank_sorted, images, k):
+            feats = self.tm.encode_image_fn(params, images)
+            logits = bank_logits(feats, bank_sorted)
+            masked = jnp.where(mask[None, :], logits, NEG)
+            vals, idx = jax.lax.top_k(masked, k)
+            return order[idx], vals
+
+        return jax.jit(fn, static_argnums=(3,))
+
+    @functools.cached_property
+    def _paths(self):
+        order = self._order
+        offsets = self.tm.level_offsets
+        train_s = self._train_sorted
+
+        def fn(params, bank_sorted, images):
+            feats = self.tm.encode_image_fn(params, images)
+            logits = bank_logits(feats, bank_sorted)
+            preds_s = level_argmax_sorted(logits, offsets, train_s)
+            return order[preds_s][:-1].T  # [B, n_levels], drop the TOR slot
+
+        return jax.jit(fn)
+
+    def classify(
+        self, images, k: int = 5
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """[B, H, W, 3] float32 -> (node ids [B, k], cosine scores [B, k])."""
+        if self.bank_sorted is None:
+            self.refresh_bank()
+        ids, vals = self._classify(
+            self.tm.params, self.bank_sorted, jnp.asarray(images), k
+        )
+        return np.asarray(ids), np.asarray(vals)
+
+    def predict_paths(self, images) -> np.ndarray:
+        """Per-level constrained argmax -> [B, n_levels] global node ids
+        (the hierarchical prediction the POR/path metrics score)."""
+        if self.bank_sorted is None:
+            self.refresh_bank()
+        return np.asarray(
+            self._paths(self.tm.params, self.bank_sorted, jnp.asarray(images))
+        )
+
+    def classify_files(
+        self, paths: Sequence[str], k: int = 5, batch: int = 64,
+        image_root: str = "", num_threads: int = 8,
+    ) -> List[List[Tuple[str, float]]]:
+        """Decode files (native C++ fast path) and classify; returns per-image
+        [(wnid, score), ...] lists."""
+        from .data import FileImageSource
+
+        src = FileImageSource(self.tm.clip_cfg.image_resolution, image_root)
+        names = self.tm.hier.names
+        out: List[List[Tuple[str, float]]] = []
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            for s in range(0, len(paths), batch):
+                chunk = list(paths[s : s + batch])
+                imgs = list(
+                    pool.map(lambda p: src.load("", [p], 0), chunk)
+                )
+                arr = np.stack(imgs).astype(np.float32)
+                ids, vals = self.classify(arr, k)
+                for row_ids, row_vals in zip(ids, vals):
+                    out.append(
+                        [(names[int(i)], float(v)) for i, v in zip(row_ids, row_vals)]
+                    )
+        return out

@@ -1,0 +1,67 @@
+"""Serving API: classify / predict_paths / classify_files."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from hgr_tpu.config import Config  # noqa: E402
+from hgr_tpu.serve import ZeroShotClassifier  # noqa: E402
+from hgr_tpu.tree_model import TreeModel  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def clf(tiny_hierarchy):
+    cfg = Config(arch="TEST-RN", dtype="float32")
+    tm = TreeModel.build(cfg, tiny_hierarchy, pad_multiple=64)
+    tm.init_params(0)
+    c = ZeroShotClassifier(tm, candidates="all")
+    c.refresh_bank()
+    return c
+
+
+def test_classify_shapes_and_ranges(clf):
+    imgs = np.random.default_rng(0).standard_normal((3, 32, 32, 3)).astype(np.float32)
+    ids, scores = clf.classify(imgs, k=5)
+    assert ids.shape == (3, 5) and scores.shape == (3, 5)
+    n = clf.tm.hier.num_nodes
+    assert (ids >= 0).all() and (ids < n).all()  # never a padded class
+    # scores descending, raw cosine range
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    assert np.abs(scores).max() <= 1.0 + 1e-4
+
+
+def test_classify_matches_bank_argmax(clf):
+    tm = clf.tm
+    imgs = np.random.default_rng(1).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ids, _ = clf.classify(imgs, k=1)
+    # oracle: full unsorted bank argmax over real nodes
+    bank = tm.update_classifier()
+    logits = np.asarray(tm.forward(tm.params, bank, jnp.asarray(imgs)))
+    want = logits[:, : tm.hier.num_nodes].argmax(1)
+    np.testing.assert_array_equal(ids[:, 0], want)
+
+
+def test_predict_paths_levels(clf):
+    tm = clf.tm
+    imgs = np.random.default_rng(2).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    paths = clf.predict_paths(imgs)
+    assert paths.shape == (2, tm.hier.max_depth + 1)
+    for b in range(2):
+        for lvl in range(paths.shape[1]):
+            assert int(tm.hier.depth[paths[b, lvl]]) == lvl
+
+
+def test_classify_files(clf, tmp_path):
+    from PIL import Image
+
+    p = tmp_path / "x.png"
+    Image.fromarray(
+        np.random.default_rng(3).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    ).save(p)
+    out = clf.classify_files([str(p), str(p)], k=3, batch=2)
+    assert len(out) == 2 and len(out[0]) == 3
+    wnid, score = out[0][0]
+    assert wnid in clf.tm.hier.name_to_id
+    assert out[0] == out[1]
