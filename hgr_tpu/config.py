@@ -58,6 +58,7 @@ class Config:
     data_split_train: str = "train"
     data_split_test: str = "zsl_test"
     hops_path: str = ""  # optional splits_for_hops.json; merges hop2/hop3/... keys
+    max_test_batches: int = -1  # cap eval batches (quick validation runs)
     image_root: str = ""  # prefix joined to manifest-relative image paths
 
     # train (main.py:46-62)

@@ -206,6 +206,9 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
         n_img += int(batch.valid.sum())
         if i % config.print_freq == 0:
             logger.log_eval(summarize(total), tag=f"batch {i}/{loader.num_batches}")
+        if 0 < config.max_test_batches <= i + 1:
+            logger.log_text(f"stopping early at {i + 1} batches (max_test_batches)")
+            break
     dt = time.time() - t0
     summary = summarize(total)
     summary["imgs_per_sec"] = n_img / max(dt, 1e-9)
