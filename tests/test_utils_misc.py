@@ -1,0 +1,91 @@
+"""Coverage for utilities: checkpoint discovery, profiling timer, zoo load,
+distributed no-op init, format_report."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_latest_epoch(tmp_path):
+    from hgr_tpu.utils.checkpoint import latest_epoch
+
+    assert latest_epoch(str(tmp_path / "nope")) is None
+    for e in (0, 2, 7):
+        os.makedirs(tmp_path / f"clip_{e}")
+    (tmp_path / "clip_bogus").mkdir()
+    assert latest_epoch(str(tmp_path)) == 7
+
+
+def test_step_timer():
+    from hgr_tpu.utils.profiling import StepTimer, annotate
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.start()
+        with annotate("unit-test"):
+            x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+        t.stop(x)
+    s = t.summary(items_per_step=8)
+    assert s["steps"] == 3
+    assert s["items_per_sec"] > 0
+    assert s["p95_ms"] >= s["p50_ms"]
+
+
+def test_zoo_random_load():
+    from hgr_tpu.models.zoo import load
+
+    cfg, params = load("RN50", checkpoint=None, seed=0)
+    assert cfg.embed_dim == 1024
+    assert params["logit_scale"].shape == ()
+
+
+def test_distributed_noop_single_process():
+    from hgr_tpu.parallel import host_local_batch_slice, init_distributed
+
+    idx, count = init_distributed()
+    assert idx == 0 and count == 1
+    assert host_local_batch_slice(16) == slice(0, 16)
+
+
+def test_format_report_layout():
+    from hgr_tpu.utils.logging import format_report
+
+    s = {
+        "hit@1": 1.0, "hit@2": 2.0, "hit@5": 5.0, "hit@10": 10.0,
+        "hit@20": 20.0, "tor": 3.0, "path_ratio": 4.0, "point_ratio": 5.0,
+    }
+    line = format_report(s)
+    # reference format: commas between Top@k entries, final one with '.'
+    assert line.startswith("Top@1(%):1.00,")
+    assert "Top@20(%):20.00." in line
+    assert line.endswith(
+        "hit_ratio(%):3.00 path_ratio(%):4.00 point_ratio(%):5.00"
+    )
+
+
+def test_native_dct_prescale_path(tmp_path):
+    """Large JPEG (min side >= 2x target) exercises the DCT-domain prescale."""
+    from hgr_tpu.data.native import decode_resize, load_native
+
+    if load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    import io
+
+    from PIL import Image
+
+    x = np.linspace(0, 1, 1024)[:, None] * np.linspace(0, 1, 1536)[None, :]
+    arr = (np.stack([x, x ** 2, 1 - x], -1) * 255).astype(np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, format="JPEG", quality=95)
+    out = decode_resize(b.getvalue(), 224)
+    assert out is not None and out.shape == (224, 224, 3)
+    from hgr_tpu.data.transforms import preprocess_pil
+
+    ref = preprocess_pil(Image.open(io.BytesIO(b.getvalue())), 224)
+    # DCT prescale decodes at 1/2 or 1/4 scale; agreement is looser but the
+    # image must still be the same picture
+    assert float(np.abs(out - ref).mean()) < 0.05
