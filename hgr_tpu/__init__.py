@@ -12,7 +12,32 @@ Hit@k and hierarchical TOR/POR/path metrics, designed TPU-first:
 - static shapes + padding/masking everywhere so XLA tiles onto the MXU
 - Pallas kernels for the hot ops (fused attention, bank gather-reduce)
 - bf16 compute with fp32 master params and optimizer state (replacing the
-  reference's manual fp16<->fp32 swap dance, reference utils.py:98-123)
+  reference's manual fp16<->fp16 swap dance, reference utils.py:98-123)
+
+Top-level API::
+
+    from hgr_tpu import Config, Hierarchy, TreeModel, ZeroShotClassifier
 """
 
 __version__ = "0.1.0"
+
+from .config import Config  # noqa: E402
+
+__all__ = ["Config", "Hierarchy", "TreeModel", "ZeroShotClassifier"]
+
+
+def __getattr__(name):
+    # lazy imports so `import hgr_tpu` stays light (no jax init)
+    if name == "Hierarchy":
+        from .hierarchy import Hierarchy
+
+        return Hierarchy
+    if name == "TreeModel":
+        from .tree_model import TreeModel
+
+        return TreeModel
+    if name == "ZeroShotClassifier":
+        from .serve import ZeroShotClassifier
+
+        return ZeroShotClassifier
+    raise AttributeError(name)

@@ -19,7 +19,7 @@ and usable offline; nothing here touches the accelerator.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

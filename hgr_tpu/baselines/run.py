@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import Dict, List, Tuple
-
 import numpy as np
 
 

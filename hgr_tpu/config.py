@@ -12,7 +12,7 @@ import argparse
 import dataclasses
 import json
 from dataclasses import dataclass, field, fields
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 
 def _parse_bool(v: str) -> bool:
@@ -120,6 +120,24 @@ class Config:
     vocab_path: str = ""           # BPE merges file; "" = default search paths
     names_path: str = ""           # wnid -> class-name JSON (WordNet offline export)
     donate: bool = True
+
+    def __post_init__(self):
+        _check = {
+            "weights": ("equal", "increasing", "decreasing", "adaptive",
+                        "nl_increasing", "nl_decreasing"),
+            "training_method": ("flat", "hierarchical", "OM"),
+            "sample_strategy": ("random", "simi", "topk", "near_simi", "brothers"),
+            "weighting": ("in", "out", "both"),
+            "dtype": ("bfloat16", "float32"),
+            "coop_train": ("ctx", "clip", "both"),
+            "class_token_position": ("end", "middle", "front"),
+        }
+        for name, options in _check.items():
+            v = getattr(self, name)
+            if v not in options:
+                raise ValueError(
+                    f"--{name} {v!r} is not one of {options}"
+                )
 
     @property
     def save_path(self) -> str:

@@ -9,8 +9,6 @@ framework's TPU-native layout); the trainer casts to bf16 on device.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)

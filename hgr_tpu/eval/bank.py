@@ -13,8 +13,7 @@ masks them out via the train/test masks anyway.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

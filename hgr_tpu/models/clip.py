@@ -13,8 +13,8 @@ All apply fns are pure: ``encode_image(params, cfg, images)`` etc.; wrap in
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, replace
-from typing import Any, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ state_dict can be loaded without knowing its architecture name.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Mapping
 
 import jax.numpy as jnp
 import numpy as np

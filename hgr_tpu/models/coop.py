@@ -30,7 +30,7 @@ trainable subset is a config choice (``ctx`` / ``clip`` / ``both``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

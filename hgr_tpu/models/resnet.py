@@ -16,7 +16,7 @@ TPU-native choices vs the reference:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

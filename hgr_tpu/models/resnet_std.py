@@ -11,13 +11,13 @@ a torchvision ``state_dict`` via :func:`convert_torch_resnet`.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import Params, avg_pool, batch_norm, bn_init, conv2d, conv_init
+from .layers import Params, batch_norm, bn_init, conv2d, conv_init
 
 LAYERS_50 = (3, 4, 6, 3)
 EXP = 4

@@ -8,8 +8,6 @@ highest id), matmul with ``text_projection``.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

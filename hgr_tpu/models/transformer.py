@@ -11,7 +11,7 @@ scan carries ride in registers/VMEM).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

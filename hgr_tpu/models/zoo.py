@@ -11,7 +11,6 @@ still be verified.
 from __future__ import annotations
 
 import hashlib
-import os
 from typing import List, Optional, Tuple
 
 import jax

@@ -22,14 +22,13 @@ communication growing with it.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..eval.bank import bank_logits
 from ..eval.metrics import NEG, TOPK, BatchMetrics

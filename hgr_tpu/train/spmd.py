@@ -16,7 +16,7 @@ is computed redundantly and identically on every device (standard DP).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp

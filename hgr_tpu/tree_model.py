@@ -25,8 +25,7 @@ while keeping the init ``1/|layer d| * scale``.
 from __future__ import annotations
 
 import functools
-import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -18,8 +18,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def _ckpt_dir(save_path: str, epoch: int) -> str:
     return os.path.abspath(os.path.join(save_path, f"clip_{epoch}"))
