@@ -190,7 +190,12 @@ class GroupedTrainLoader:
         seed: int = 0,
         num_threads: int = 8,
         prefetch: int = 4,
+        serial_batches: bool = True,
     ):
+        # serial_batches=False reproduces the reference's non-serial mode
+        # (imagenet_group.py:142-143): every episode draws a FRESH random
+        # batch from the class instead of walking a shuffled stream
+        self.serial_batches = serial_batches
         self.grouped = {c: p for c, p in grouped.items() if len(p) > 0}
         self.class_ids = class_ids
         self.source = source
@@ -212,6 +217,8 @@ class GroupedTrainLoader:
         (the reference inner DataLoader's drop_last=False behaviour)."""
         n = len(self.grouped[cls])
         take_n = min(self.batch_size, n)
+        if not self.serial_batches:
+            return [int(i) for i in self.rng.choice(n, take_n, replace=False)]
         buf = self._cursors.get(cls, [])
         if len(buf) < take_n:
             buf.extend(int(i) for i in self.rng.permutation(n))

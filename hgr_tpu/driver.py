@@ -309,6 +309,7 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
         n_episodes=config.n_episodes,
         seed=config.seed,
         num_threads=config.num_workers,
+        serial_batches=config.serial_batches,
     )
     num_batches = loader.n_episodes
     total_steps = config.epochs * num_batches
