@@ -23,7 +23,7 @@ from hgr_tpu.tree_model import TreeModel  # noqa: E402
 def test_coop_spmd_step():
     mesh = make_mesh(data=4, model=2)
     hier = synthetic_hierarchy(3, 4, 5, 0)
-    cfg = Config(arch="TEST-RN", num_compare=4, lr=1e-3, coop=True,
+    cfg = Config(arch="TEST-RN", num_compare=4, lr=1e-3, coop=True, remat=False,
                  coop_train="ctx", dtype="float32")
     tm = TreeModel.build(cfg, hier, pad_multiple=64)
     tm.init_params(0)

@@ -31,10 +31,10 @@ from hgr_tpu.tree_model import TreeModel  # noqa: E402
 def test_spmd_step_matches_mean_of_replica_losses():
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
-    mesh = make_mesh(data=4, model=2)
+    mesh = make_mesh(data=2, model=4)
 
     hier = synthetic_hierarchy(3, 4, 5, 0)
-    cfg = Config(arch="TEST-RN", num_compare=4, lr=1e-3, w_lr=1e-3)
+    cfg = Config(arch="TEST-RN", num_compare=4, lr=1e-3, w_lr=1e-3, remat=False)
     tm = TreeModel.build(cfg, hier, pad_multiple=64)
     tm.init_params(0)
     clip_cfg = get_config(cfg.arch)
@@ -42,11 +42,11 @@ def test_spmd_step_matches_mean_of_replica_losses():
     sampler = NegativeSampler(hier, np.arange(hier.num_nodes), 4, seed=0)
     builder = ScheduleBuilder(hier, sampler, 0.25, 0.5, 4)
     deep = hier.level(hier.max_depth)
-    targets = [int(deep[i % len(deep)]) for i in range(4)]
+    targets = [int(deep[i % len(deep)]) for i in range(2)]
     scheds = [builder.build(t) for t in targets]
 
     rng = np.random.default_rng(0)
-    images = rng.standard_normal((4, 2, 32, 32, 3)).astype(np.float32)
+    images = rng.standard_normal((2, 2, 32, 32, 3)).astype(np.float32)
     node_tokens = jnp.asarray(tm.node_tokens)
 
     tx = make_optimizer(cfg, total_steps=10)
@@ -63,7 +63,7 @@ def test_spmd_step_matches_mean_of_replica_losses():
     singles = [
         float(loss_fn(state.params, jnp.asarray(images[r]), node_tokens,
                       sched_to_device(scheds[r])))
-        for r in range(4)
+        for r in range(2)
     ]
     np.testing.assert_allclose(float(loss), np.mean(singles), rtol=1e-5)
 
@@ -73,7 +73,7 @@ def test_spmd_step_matches_mean_of_replica_losses():
             jnp.stack([
                 loss_fn(params, jnp.asarray(images[r]), node_tokens,
                         sched_to_device(scheds[r]))
-                for r in range(4)
+                for r in range(2)
             ])
         )
 

@@ -252,7 +252,7 @@ def test_om_loss_matches_serial_oracle(hier):
 
 
 def test_train_step_runs_and_updates(hier):
-    cfg = Config(arch="TEST-RN", num_compare=4, lr=1e-3, w_lr=1e-3)
+    cfg = Config(arch="TEST-RN", num_compare=4, lr=1e-3, w_lr=1e-3, remat=False)
     tm = TreeModel.build(cfg, hier, pad_multiple=64)
     tm.init_params(0)
     clip_cfg = get_config("TEST-RN")
