@@ -79,6 +79,7 @@ class Config:
     weighting: str = "both"  # in|out|both
     scale: float = 1.0
     grad_clip: float = 1.0
+    accum_steps: int = 1  # gradient accumulation (optax.MultiSteps)
     seed: int = 0
 
     # resume (main.py:65-69)

@@ -55,10 +55,14 @@ def make_optimizer(
     lw_tx = optax.sgd(learning_rate=config.w_lr)
     labels = {"clip": "clip", "layer_weight": "lw"}
     labels.update(extra_labels or {})
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"clip": clip_tx, "lw": lw_tx, "frozen": optax.set_to_zero()},
         param_labels=labels,
     )
+    if getattr(config, "accum_steps", 1) > 1:
+        # gradient accumulation: k micro-batches per optimizer update
+        tx = optax.MultiSteps(tx, every_k_schedule=config.accum_steps)
+    return tx
 
 
 def sched_to_device(s: PairSchedule) -> Dict[str, jnp.ndarray]:
