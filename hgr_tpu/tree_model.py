@@ -199,8 +199,14 @@ class TreeModel:
 
     @property
     def attn_fn(self):
-        """Pallas fused attention on TPU when enabled (ops/attention.py)."""
-        if self.config.use_pallas and jax.default_backend() != "cpu":
+        """Fused-attention kernel when explicitly enabled (ops/attention.py).
+
+        Off by default: at CLIP's 50-77-token sequences XLA's batched GEMM
+        attention is faster than per-(batch, head) pallas programs (measured
+        ~1.5-1.8x on v5e); the kernel is kept for long-sequence variants."""
+        if getattr(self.config, "pallas_attention", False) and (
+            jax.default_backend() != "cpu"
+        ):
             from .ops.attention import pallas_attention
 
             return pallas_attention
