@@ -171,6 +171,25 @@ def test_max_pairs_is_a_bound(hier):
         assert len(oracle_pairs(hier, t, 0.25, 0.5)) <= pm
 
 
+@pytest.mark.parametrize("ratios", [(0.25, 0.5), (1.0, 1.0), (0.0, 0.0)])
+def test_schedule_structure_every_node(hier, ratios):
+    """Property sweep: pair structure matches the loop oracle for EVERY node
+    and for edge-case ratios (0.0 must still produce >=1 pair per loop,
+    reference model/clip_tree.py:236-238,251-253)."""
+    out_r, in_r = ratios
+    sampler = NegativeSampler(hier, np.arange(hier.num_nodes), 4, seed=0)
+    builder = ScheduleBuilder(hier, sampler, out_r, in_r, num_compare=4)
+    for t in range(hier.num_nodes):
+        s = builder.build(t)
+        rows = oracle_pairs(hier, t, out_r, in_r)
+        assert int(s.pair_valid.sum()) == len(rows)
+        for i, (p_out, depth, m_loop, m, k_loop, k) in enumerate(rows):
+            assert s.compare[i, s.label[i]] == p_out
+            assert (s.in_pos[i], s.in_len[i], s.out_pos[i], s.out_len[i]) == (
+                m_loop, m, k_loop, k
+            )
+
+
 # ---------------------------------------------------------------------------
 # OM loss: batched == serial oracle (values AND grads)
 # ---------------------------------------------------------------------------
