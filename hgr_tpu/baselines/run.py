@@ -223,6 +223,7 @@ def run_free(args, hier, splits, attrs, protos):
     # with MinMaxScaler in classifier.py); shift prototypes accordingly
     protos01 = (protos - protos.min()) / (protos.max() - protos.min())
 
+    lambda1 = cfg.lambda1
     for i in range(args.steps):
         labels = rng.integers(0, len(seen_ids), args.batch)
         feats = np.stack([
@@ -236,18 +237,26 @@ def run_free(args, hier, splits, attrs, protos):
         att = jnp.asarray(attrs[seen_ids[labels]])
         featj = jnp.asarray(feats)
         labj = jnp.asarray(labels)
+        gp_sum = 0.0
         for _ in range(cfg.critic_iter):
             key, k1, k2 = jax.random.split(key, 3)
             ol = other_labels(k1, labj, len(seen_ids))
             params, optD, optFR, optC, d_cost, wass, gp = d_step(
                 params, optD, optFR, optC, featj, att, labj, ol,
-                jnp.asarray(cfg.lambda1), k2,
+                jnp.asarray(lambda1), k2,
             )
+            gp_sum += float(gp) * lambda1 * cfg.gammaD
+        # adaptive GP weight (reference train_free.py:330-334)
+        gp_sum /= cfg.gammaD * lambda1 * cfg.critic_iter
+        if gp_sum > 1.05:
+            lambda1 *= 1.1
+        elif gp_sum < 1.001:
+            lambda1 /= 1.1
         key, k3 = jax.random.split(key)
         params, optEG, g_loss = g_step(params, optEG, featj, att, k3)
         if i % max(1, args.steps // 5) == 0:
-            print(f"step {i}: D {float(d_cost):.3f} G {float(g_loss):.3f}",
-                  flush=True)
+            print(f"step {i}: D {float(d_cost):.3f} G {float(g_loss):.3f} "
+                  f"lambda1 {lambda1:.2f}", flush=True)
 
     # synthesize features for ALL classes, train a softmax over the full set
     key, ks, kc = jax.random.split(key, 3)
@@ -260,16 +269,13 @@ def run_free(args, hier, splits, attrs, protos):
     )
 
     def logit_fn(feats):
+        # evaluation features go through the same 0-1 mapping as training
         f01 = np.clip(
             (feats - protos.min()) / (protos.max() - protos.min()), 0, 1
         )
         return jnp.asarray(f01) @ clf["w"] + clf["b"]
 
-    # evaluation features must go through the same 0-1 mapping
-    def logit_fn_raw(feats):
-        return logit_fn(feats)
-
-    return logit_fn_raw
+    return logit_fn
 
 
 def main(argv=None):
