@@ -62,7 +62,10 @@ class Config:
     image_root: str = ""  # prefix joined to manifest-relative image paths
 
     # train (main.py:46-62)
-    open_eval: bool = True
+    open_eval: bool = True  # reference: True keeps the model in eval() during
+    # fine-tuning (frozen BN stats, main.py:77-79); this framework's BN is
+    # frozen-stats by construction, so False (train-mode BN) is intentionally
+    # not supported — the reference never exercises it either
     train: bool = True
     lr: float = 3e-7
     w_lr: float = 1e-4
