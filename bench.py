@@ -78,5 +78,43 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__":
+def _run_with_watchdog(timeout_s: float = 420.0, retries: int = 2) -> None:
+    """Run the measurement in a child process with a timeout.
+
+    The TPU tunnel in this environment rarely (but not never) hangs a whole
+    process; a fresh process recovers. The parent holds no TPU state (jax is
+    only imported inside main), so the child gets the chip cleanly.
+    """
+    import subprocess
+    import sys
+
+    for attempt in range(retries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import bench; bench.main()"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt {attempt + 1} timed out; retrying",
+                  flush=True)
+            continue
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        print(f"# bench attempt {attempt + 1} failed (rc={proc.returncode}): "
+              f"{proc.stderr[-300:] if proc.stderr else ''}", flush=True)
+    # last resort: run inline so a hard failure is at least visible
     main()
+
+
+if __name__ == "__main__":
+    import os
+
+    if os.environ.get("HGR_BENCH_INNER"):
+        main()
+    else:
+        os.environ["HGR_BENCH_INNER"] = "1"
+        _run_with_watchdog()
