@@ -120,10 +120,16 @@ def _grouped_split(config: Config, split: str, candidates, splits) -> Dict[str, 
                 seed=config.seed,
             )
         return grouped
-    manifest_path = os.path.join(
-        os.path.dirname(config.split_path), f"{split}_split.json"
-    )
-    grouped = load_manifest(manifest_path, candidates)
+    base = os.path.join(os.path.dirname(config.split_path), f"{split}_split")
+    if os.path.isdir(base + ".idx"):
+        # binary mmap index (tools: python -m hgr_tpu.data.manifest_index
+        # build {split}_split.json {split}_split.idx) — no JSON parse,
+        # paths decode lazily per class, pages shared across processes
+        from .data.manifest_index import MmapManifest
+
+        grouped = MmapManifest(base + ".idx").grouped(candidates)
+    else:
+        grouped = load_manifest(base + ".json", candidates)
     if config.k_shots > 0:
         grouped = kshot_subsample(
             grouped, unseen=splits["rest"], k_shots=config.k_shots, seed=config.seed
