@@ -1,5 +1,5 @@
 from .bpe import Tokenizer, CONTEXT_LENGTH, bytes_to_unicode, load_merges
-from .templates import (
+from .prompts import (
     BANKS,
     TEMPLATES_EMPTY,
     TEMPLATES_SELECT,

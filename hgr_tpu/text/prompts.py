@@ -1,4 +1,5 @@
-"""Prompt template banks.
+"""Prompt template banks (module renamed from the generic "templates" to make
+its provenance explicit).
 
 The contents are OpenAI CLIP's public ImageNet prompt-ensemble strings (the
 same data the reference vendors at ``data/templates.py:1-100``); the 80-prompt
