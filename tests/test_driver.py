@@ -68,3 +68,45 @@ def test_fetch_warm_start(tmp_path, monkeypatch):
     assert os.path.isdir(
         os.path.join(folder, "HGR2", "adaptive_0.25_0.5", "clip_0")
     )
+
+
+def test_dryrun_multichip_self_forces_cpu_mesh(monkeypatch):
+    """The driver contract: dryrun_multichip must own its environment.
+
+    Round-1 failure mode: the driver invoked it in a process whose default
+    backend had 1 TPU device and it died in make_mesh. The wrapper must
+    re-exec in a child with JAX_PLATFORMS=cpu + a forced host device count
+    (and pin the platform via jax.config inside the child, since the env var
+    alone does not beat a pre-registered backend plugin).
+    """
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    captured = {}
+
+    def fake_run(cmd, **kw):
+        captured["cmd"] = cmd
+        captured["env"] = kw["env"]
+        return subprocess.CompletedProcess(cmd, 0, stdout="", stderr="")
+
+    monkeypatch.delenv("_HGR_DRYRUN_INNER", raising=False)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    ge.dryrun_multichip(8)
+
+    env = captured["env"]
+    assert env["_HGR_DRYRUN_INNER"] == "1"
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    # exactly one device-count flag even if the caller already set one
+    assert env["XLA_FLAGS"].count("xla_force_host_platform_device_count") == 1
+    child_code = captured["cmd"][-1]
+    assert "jax.config.update('jax_platforms', 'cpu')" in child_code
+    # the inner guard routes the child into the body, not another spawn
+    monkeypatch.setenv("_HGR_DRYRUN_INNER", "1")
+    called = {}
+    monkeypatch.setattr(ge, "_dryrun_body", lambda n: called.setdefault("n", n))
+    ge.dryrun_multichip(8)
+    assert called["n"] == 8
