@@ -60,6 +60,13 @@ def load_native():
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.hgr_decode_resize.restype = ctypes.c_int
+        lib.hgr_decode_resize_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.hgr_decode_resize_u8.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -76,6 +83,27 @@ def decode_resize(jpeg_bytes: bytes, out_px: int) -> Optional[np.ndarray]:
         ctypes.c_long(len(jpeg_bytes)),
         ctypes.c_int(out_px),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_resize_u8(jpeg_bytes: bytes, out_px: int) -> Optional[np.ndarray]:
+    """Decode+resize+crop one JPEG -> [out_px, out_px, 3] uint8 or None.
+
+    The raw-uint8 host->device edge: normalization happens on device
+    (4x less H2D transfer than the float32 path)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    buf = np.frombuffer(jpeg_bytes, dtype=np.uint8)
+    out = np.empty((out_px, out_px, 3), np.uint8)
+    rc = lib.hgr_decode_resize_u8(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(len(jpeg_bytes)),
+        ctypes.c_int(out_px),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if rc != 0:
         return None

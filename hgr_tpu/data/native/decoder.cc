@@ -103,13 +103,11 @@ void resample_axis(const float* in, int n_in, int pixel_stride_in,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode a JPEG buffer and emit [out_px, out_px, 3] float32, CLIP-normalized.
-// Returns 0 on success, nonzero on decode failure.
-int hgr_decode_resize(const uint8_t* data, long len, int out_px, float* out) {
+// Shared core: decode + DCT prescale + separable bicubic resize (short side
+// to out_px) + center crop. Emits [out_px, out_px, 3] floats in 0..255
+// (unclamped; callers clamp). Returns 0 on success.
+int decode_to_crop(const uint8_t* data, long len, int out_px,
+                   std::vector<float>& crop) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -165,7 +163,7 @@ int hgr_decode_resize(const uint8_t* data, long len, int out_px, float* out) {
   }
 
   std::vector<float> fimg(static_cast<size_t>(w) * h * 3);
-  for (size_t i = 0; i < fimg.size(); ++i) fimg[i] = rgb[i] / 255.0f;
+  for (size_t i = 0; i < fimg.size(); ++i) fimg[i] = rgb[i];
 
   // horizontal pass: [h, w, 3] -> [h, nw, 3]
   std::vector<float> tmp(static_cast<size_t>(h) * nw * 3);
@@ -174,19 +172,51 @@ int hgr_decode_resize(const uint8_t* data, long len, int out_px, float* out) {
   std::vector<float> resized(static_cast<size_t>(nh) * nw * 3);
   resample_axis(tmp.data(), h, nw * 3, 3, resized.data(), nh, nw * 3, 3, nw);
 
-  // center crop + clamp + normalize
+  // center crop
   const int left = (nw - out_px) / 2;
   const int top = (nh - out_px) / 2;
+  crop.resize(static_cast<size_t>(out_px) * out_px * 3);
   for (int y = 0; y < out_px; ++y) {
     const float* src = resized.data() +
                        (static_cast<size_t>(y + top) * nw + left) * 3;
-    float* dst = out + static_cast<size_t>(y) * out_px * 3;
-    for (int x = 0; x < out_px; ++x) {
-      for (int c = 0; c < 3; ++c) {
-        float v = std::min(1.0f, std::max(0.0f, src[x * 3 + c]));
-        dst[x * 3 + c] = (v - kMean[c]) / kStd[c];
-      }
+    std::memcpy(crop.data() + static_cast<size_t>(y) * out_px * 3, src,
+                static_cast<size_t>(out_px) * 3 * sizeof(float));
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a JPEG buffer and emit [out_px, out_px, 3] float32, CLIP-normalized.
+// Returns 0 on success, nonzero on decode failure.
+int hgr_decode_resize(const uint8_t* data, long len, int out_px, float* out) {
+  std::vector<float> crop;
+  const int rc = decode_to_crop(data, len, out_px, crop);
+  if (rc != 0) return rc;
+  const size_t n = static_cast<size_t>(out_px) * out_px;
+  for (size_t i = 0; i < n; ++i) {
+    for (int c = 0; c < 3; ++c) {
+      float v = std::min(255.0f, std::max(0.0f, crop[i * 3 + c])) / 255.0f;
+      out[i * 3 + c] = (v - kMean[c]) / kStd[c];
     }
+  }
+  return 0;
+}
+
+// Same pipeline but raw uint8 output (no normalization) — the TPU-native
+// host->device edge: 4x less transfer than float32, normalization fuses into
+// the jitted device step instead (models/clip.py:encode_image).
+int hgr_decode_resize_u8(const uint8_t* data, long len, int out_px,
+                         uint8_t* out) {
+  std::vector<float> crop;
+  const int rc = decode_to_crop(data, len, out_px, crop);
+  if (rc != 0) return rc;
+  const size_t n = static_cast<size_t>(out_px) * out_px * 3;
+  for (size_t i = 0; i < n; ++i) {
+    out[i] = static_cast<uint8_t>(
+        std::lround(std::min(255.0f, std::max(0.0f, crop[i]))));
   }
   return 0;
 }

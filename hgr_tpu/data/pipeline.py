@@ -62,10 +62,14 @@ class FileImageSource:
     """
 
     def __init__(self, resolution: int, image_root: str = "",
-                 native: bool = True):
+                 native: bool = True, raw_uint8: bool = True):
+        # raw_uint8: emit [H, W, 3] uint8 and let the jitted device step
+        # normalize (models/clip.py:encode_image) — 4x less H2D transfer
+        # than pre-normalized float32 and less host CPU per image.
         self.resolution = resolution
         self.image_root = image_root
         self.native = native
+        self.raw_uint8 = raw_uint8
         if native:
             from .native import load_native
 
@@ -81,19 +85,22 @@ class FileImageSource:
     def _load_one(self, path: str) -> np.ndarray:
         path = self._path(path)
         if self.native and path.lower().endswith((".jpg", ".jpeg")):
-            from .native import decode_resize
+            from .native import decode_resize, decode_resize_u8
 
             with open(path, "rb") as f:
                 data = f.read()
-            out = decode_resize(data, self.resolution)
+            fn = decode_resize_u8 if self.raw_uint8 else decode_resize
+            out = fn(data, self.resolution)
             if out is not None:
                 return out
             # fall through to PIL on native decode failure
         from PIL import Image
 
-        from .transforms import preprocess_pil
+        from .transforms import preprocess_pil, preprocess_pil_uint8
 
         img = Image.open(path).convert("RGB")
+        if self.raw_uint8:
+            return preprocess_pil_uint8(img, self.resolution)
         return preprocess_pil(img, self.resolution)
 
     def load(self, class_name: str, paths: Sequence[str], idx: int) -> np.ndarray:
@@ -152,11 +159,16 @@ def kshot_subsample(
 
 
 class _Prefetcher:
-    """Bounded-queue background producer."""
+    """Bounded-queue background producer.
+
+    Producer-thread exceptions are captured and re-raised in the consumer —
+    a silently-truncated stream would otherwise look like a clean (shorter)
+    epoch, corrupting training/eval without any signal."""
 
     def __init__(self, gen_fn, depth: int = 4):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(
             target=self._run, args=(gen_fn,), daemon=True
         )
@@ -166,6 +178,8 @@ class _Prefetcher:
         try:
             for item in gen_fn():
                 self._q.put(item)
+        except BaseException as e:  # noqa: BLE001 — must cross the thread
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -173,6 +187,10 @@ class _Prefetcher:
         while True:
             item = self._q.get()
             if item is self._done:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "data pipeline producer thread failed"
+                    ) from self._error
                 return
             yield item
 
@@ -240,7 +258,7 @@ class GroupedTrainLoader:
         )
         B = self.batch_size
         h, w, c = imgs[0].shape
-        out = np.zeros((B, h, w, c), np.float32)
+        out = np.zeros((B, h, w, c), imgs[0].dtype)
         valid = np.zeros(B, bool)
         for j, im in enumerate(imgs):
             out[j] = im
@@ -312,7 +330,7 @@ class FlatTrainLoader:
                     )
                 )
                 h, w, c = imgs[0].shape
-                out = np.zeros((B, h, w, c), np.float32)
+                out = np.zeros((B, h, w, c), imgs[0].dtype)
                 valid = np.zeros(B, bool)
                 labels = np.zeros(B, np.int32)
                 for j, (im, r) in enumerate(zip(imgs, rows)):
@@ -364,7 +382,7 @@ class GroupedTestLoader:
                         )
                     )
                     h, w, c = imgs[0].shape
-                    out = np.zeros((B, h, w, c), np.float32)
+                    out = np.zeros((B, h, w, c), imgs[0].dtype)
                     valid = np.zeros(B, bool)
                     for j, im in enumerate(imgs):
                         out[j] = im

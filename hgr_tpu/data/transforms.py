@@ -34,6 +34,27 @@ def preprocess_pil(img, n_px: int) -> np.ndarray:
     return (arr - CLIP_MEAN) / CLIP_STD
 
 
+def preprocess_pil_uint8(img, n_px: int) -> np.ndarray:
+    """PIL image -> [n_px, n_px, 3] uint8 (resize + crop, NO normalization).
+
+    The raw host->device edge: ship uint8 (4x less transfer than float32)
+    and let the jitted device step normalize (models/clip.py:encode_image)."""
+    from PIL import Image
+
+    w, h = img.size
+    if w < h:
+        nw, nh = n_px, max(1, round(h * n_px / w))
+    else:
+        nw, nh = max(1, round(w * n_px / h)), n_px
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - n_px) // 2
+    top = (nh - n_px) // 2
+    img = img.crop((left, top, left + n_px, top + n_px))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, np.uint8)
+
+
 def normalize_array(arr: np.ndarray) -> np.ndarray:
     """[H, W, 3] float32 in [0,1] -> CLIP-normalized."""
     return (arr - CLIP_MEAN) / CLIP_STD

@@ -156,14 +156,29 @@ def clip_init(key, cfg: CLIPConfig) -> Params:
     }
 
 
+# CLIP preprocessing constants (reference clip/clip.py:76-77); used by the
+# on-device normalization of raw-uint8 batches.
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
 def encode_image(
     p: Params,
     cfg: CLIPConfig,
-    images: jnp.ndarray,  # [B, H, W, 3]
+    images: jnp.ndarray,  # [B, H, W, 3] pre-normalized float, or raw uint8
     dtype=jnp.bfloat16,
     attn_fn=None,
     remat: bool = False,
 ) -> jnp.ndarray:
+    if images.dtype == jnp.uint8:
+        # raw host->device edge (pipeline raw_uint8 mode): normalize on
+        # device, fused by XLA into the stem conv's input pipeline. Static
+        # dtype branch — resolved at trace time, no runtime cond. Arithmetic
+        # in f32 so results match the host-normalized float path bit-for-bit
+        # up to the usual compute-dtype cast.
+        mean = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
+        scale = 1.0 / (jnp.asarray(CLIP_STD, jnp.float32) * 255.0)
+        images = ((images.astype(jnp.float32) - mean) * scale).astype(dtype)
     if cfg.is_vit:
         return vit_apply(
             p["visual"],

@@ -61,3 +61,59 @@ def test_file_source_native_and_fallback(tmp_path):
     # non-JPEG goes through the PIL path
     out_png = src.load("c", [str(png)], 0)
     assert out_png.shape == (32, 32, 3)
+
+
+def test_native_u8_matches_pil_and_f32():
+    """decode_resize_u8: same pipeline as decode_resize, raw uint8 out."""
+    if load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    from PIL import Image
+
+    from hgr_tpu.data.native import decode_resize_u8
+    from hgr_tpu.data.transforms import CLIP_MEAN, CLIP_STD, preprocess_pil_uint8
+
+    jb = _jpeg_bytes()
+    u8 = decode_resize_u8(jb, 224)
+    assert u8.dtype == np.uint8 and u8.shape == (224, 224, 3)
+    pil_u8 = preprocess_pil_uint8(Image.open(io.BytesIO(jb)), 224)
+    assert float(np.abs(u8.astype(int) - pil_u8.astype(int)).mean()) < 2.0
+    # normalizing the u8 output reproduces the fused f32 output to <1 level
+    f32 = decode_resize(jb, 224)
+    renorm = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    assert float(np.abs(renorm - f32).max()) < 1.5 / 255.0 / CLIP_STD.min()
+
+
+def test_encode_image_uint8_matches_f32():
+    """The on-device normalization of raw uint8 batches (the 4x-cheaper H2D
+    edge) must produce the same features as host-normalized float32 input."""
+    import jax
+    import jax.numpy as jnp
+
+    from hgr_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    from hgr_tpu.models.clip import clip_init, encode_image, get_config
+
+    cfg = get_config("TEST-RN")
+    params = clip_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, size=(2, cfg.image_resolution,
+                                    cfg.image_resolution, 3), dtype=np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    out_u8 = encode_image(params, cfg, jnp.asarray(u8), dtype=jnp.float32)
+    out_f32 = encode_image(params, cfg, jnp.asarray(f32), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out_u8), np.asarray(out_f32), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_raw_uint8_file_source(tmp_path):
+    from PIL import Image
+
+    jb = _jpeg_bytes(64, 48)
+    p = tmp_path / "a.jpg"
+    p.write_bytes(jb)
+    raw = FileImageSource(resolution=32)  # raw_uint8 defaults on
+    out = raw.load("c", [str(p)], 0)
+    assert out.dtype == np.uint8 and out.shape == (32, 32, 3)
+    legacy = FileImageSource(resolution=32, raw_uint8=False)
+    out_f = legacy.load("c", [str(p)], 0)
+    assert out_f.dtype == np.float32
