@@ -117,7 +117,6 @@ class Config:
     mesh_model: int = 1   # shards of the class bank / logits
     dtype: str = "bfloat16"        # activation/compute dtype
     param_dtype: str = "float32"   # master params + optimizer state
-    use_pallas: bool = True        # pallas kernels where profitable (TPU only)
     pallas_attention: bool = False # fused-attention kernel; OFF by default:
     # at CLIP's tiny sequence lengths (50-77 tokens) XLA's batched GEMMs beat
     # per-(batch,head) pallas programs (~1.5-1.8x, measured on v5e)

@@ -9,7 +9,6 @@ import jax.numpy as jnp  # noqa: E402
 from hgr_tpu.models.layers import causal_mask  # noqa: E402
 from hgr_tpu.ops.attention import pallas_attention, reference_attention  # noqa: E402
 from hgr_tpu.ops.bank_topk import (  # noqa: E402
-    level_argmax_pallas,
     level_argmax_sorted,
     level_argmax_xla,
 )
@@ -36,19 +35,6 @@ def _setup(B=16, N=512, n_depths=5, seed=0):
     train = rng.random(N) < 0.8
     levels = np.asarray(list(range(n_depths)) + [-1], np.int32)
     return logits, depth, train, levels
-
-
-def test_level_argmax_pallas_interpret_matches_xla():
-    logits, depth, train, levels = _setup()
-    p1 = level_argmax_pallas(
-        jnp.asarray(logits), jnp.asarray(levels), jnp.asarray(depth),
-        jnp.asarray(train), tile_n=128, tile_b=8, interpret=True,
-    )
-    p2 = level_argmax_xla(
-        jnp.asarray(logits), jnp.asarray(levels), jnp.asarray(depth),
-        jnp.asarray(train),
-    )
-    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
 def test_level_argmax_sorted_matches_xla():
