@@ -112,3 +112,77 @@ def test_cosine_logits_range_and_scale():
     assert float(jnp.abs(logits).max()) <= 1.0 + 1e-5
     scaled = jclip.cosine_logits(a, b, jnp.asarray(0.0))
     np.testing.assert_allclose(np.asarray(scaled), np.asarray(logits), rtol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", ["RN50", "ViT-B/32"])
+def test_encode_parity_full_shape(arch):
+    """Full-shape conversion parity (VERDICT r1 item 4a): the risky paths —
+    attnpool in-proj packing (/root/reference/clip/model.py:70-88), real
+    widths/head counts, ViT-B at real depth — exercised at the real RN50 /
+    ViT-B/32 shapes with random-init weights (no pretrained files needed)."""
+    ref, cfg, params, torch = _build_pair(arch)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(
+        (2, cfg.image_resolution, cfg.image_resolution, 3)
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref.encode_image(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).numpy()
+    img = np.asarray(
+        jclip.encode_image(params, cfg, jnp.asarray(x), dtype=jnp.float32)
+    )
+    # full-scale activations are larger than the toy configs'; scale-aware bound
+    tol = 2e-4 * max(1.0, float(np.abs(ref_img).max()))
+    np.testing.assert_allclose(img, ref_img, rtol=2e-4, atol=tol)
+
+    tokens = np.zeros((2, cfg.context_length), dtype=np.int64)
+    for i in range(2):
+        n = int(rng.integers(3, 60))
+        tokens[i, 0] = cfg.vocab_size - 2
+        tokens[i, 1 : n + 1] = rng.integers(1, cfg.vocab_size - 2, n)
+        tokens[i, n + 1] = cfg.vocab_size - 1
+    with torch.no_grad():
+        ref_txt = ref.encode_text(torch.from_numpy(tokens)).numpy()
+    txt = np.asarray(
+        jclip.encode_text(
+            params, cfg, jnp.asarray(tokens, jnp.int32), dtype=jnp.float32
+        )
+    )
+    tol = 2e-4 * max(1.0, float(np.abs(ref_txt).max()))
+    np.testing.assert_allclose(txt, ref_txt, rtol=2e-4, atol=tol)
+
+
+def test_torchscript_archive_roundtrip(tmp_path):
+    """zoo.load must consume TorchScript JIT archives — the format the real
+    OpenAI checkpoints ship in (/root/reference/clip/clip.py:98-130)."""
+    ref, cfg, params, torch = _build_pair("TEST-RN")
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(
+        rng.standard_normal(
+            (1, 3, cfg.image_resolution, cfg.image_resolution)
+        ).astype(np.float32)
+    )
+    toks = np.zeros((1, cfg.context_length), dtype=np.int64)
+    toks[0, 0] = cfg.vocab_size - 2
+    toks[0, 1] = 5
+    toks[0, 2] = cfg.vocab_size - 1
+    t = torch.from_numpy(toks)
+    with torch.no_grad():
+        traced = torch.jit.trace(ref, (x, t))
+    path = str(tmp_path / "clip_jit.pt")
+    torch.jit.save(traced, path)
+
+    from hgr_tpu.models.zoo import load
+
+    ck_cfg, ck_params = load("TEST-RN", checkpoint=path)
+    assert ck_cfg.embed_dim == cfg.embed_dim
+    assert tuple(ck_cfg.vision_layers) == tuple(cfg.vision_layers)
+    xs = np.asarray(x.numpy().transpose(0, 2, 3, 1))
+    with torch.no_grad():
+        want = ref.encode_image(x).numpy()
+    got = np.asarray(
+        jclip.encode_image(ck_params, ck_cfg, jnp.asarray(xs), dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
