@@ -4,6 +4,7 @@ from .pipeline import (
     GroupBatch,
     GroupedTestLoader,
     GroupedTrainLoader,
+    Prefetcher,
     SyntheticImageSource,
     kshot_subsample,
     load_manifest,
@@ -16,6 +17,7 @@ __all__ = [
     "GroupBatch",
     "GroupedTestLoader",
     "GroupedTrainLoader",
+    "Prefetcher",
     "SyntheticImageSource",
     "kshot_subsample",
     "load_manifest",

@@ -158,7 +158,7 @@ def kshot_subsample(
     return out
 
 
-class _Prefetcher:
+class Prefetcher:
     """Bounded-queue background producer.
 
     Producer-thread exceptions are captured and re-raised in the consumer —
@@ -278,7 +278,7 @@ class GroupedTrainLoader:
             for _ in range(self.n_episodes):
                 yield self._make_batch(next(class_iter))
 
-        return iter(_Prefetcher(gen, depth=self._prefetch))
+        return iter(Prefetcher(gen, depth=self._prefetch))
 
 
 class FlatTrainLoader:
@@ -339,7 +339,7 @@ class FlatTrainLoader:
                     valid[j] = True
                 yield out, labels, valid
 
-        return iter(_Prefetcher(gen, depth=self._prefetch))
+        return iter(Prefetcher(gen, depth=self._prefetch))
 
 
 class GroupedTestLoader:
@@ -394,4 +394,4 @@ class GroupedTestLoader:
                         paths=[paths[i] for i in idxs],
                     )
 
-        return iter(_Prefetcher(gen, depth=self._prefetch))
+        return iter(Prefetcher(gen, depth=self._prefetch))

@@ -48,36 +48,20 @@ def resolve_weight_modes(training_method: str, weights: str, weighting: str) -> 
     return weights, weights  # "both"
 
 
-def om_loss(
-    params: Any,                 # {"clip": clip params, "layer_weight": [L]}
-    images: jnp.ndarray,         # [B, H, W, 3]
-    node_tokens: jnp.ndarray,    # [N_pad, T] int32 (full prompt bank)
-    sched: Dict[str, jnp.ndarray],  # device-side PairSchedule arrays
+def pair_ce_loss(
+    img: jnp.ndarray,            # [B, D] normalized image features
+    tfeat: jnp.ndarray,          # [U, D] normalized text features
+    sched: Dict[str, jnp.ndarray],
+    layer_weight: jnp.ndarray,
+    scale: jnp.ndarray,          # exp(logit_scale)
     *,
-    clip_cfg: CLIPConfig,
-    dtype,
     in_mode: str,
     out_mode: str,
-    remat: bool = False,
-    text_fn: Callable = None,
 ) -> jnp.ndarray:
-    clip_params = params["clip"]
-    layer_weight = params["layer_weight"]
-
-    img = encode_image(clip_params, clip_cfg, images, dtype=dtype, remat=remat)
-    img = l2_normalize(img)                                   # [B, D]
-
-    if text_fn is None:
-        toks = node_tokens[sched["unique"]]                    # [U, T]
-        tfeat = encode_text(clip_params, clip_cfg, toks, dtype=dtype, remat=remat)
-        tfeat = l2_normalize(tfeat)                            # [U, D]
-    else:
-        # variant text path (e.g. the CoOp prompt learner): maps class ids
-        # to normalized features using whatever trainable leaves it needs
-        tfeat = text_fn(params, sched["unique"])               # [U, D]
-
+    """Masked weighted pair cross-entropy given already-encoded features —
+    the post-encoder part of the OM step, shared by the single-device and
+    SPMD paths (reference ``model/clip_tree.py:261-279``)."""
     pair_feats = tfeat[sched["inv"]]                           # [P, C, D]
-    scale = jnp.exp(clip_params["logit_scale"])
     logits = (
         jnp.einsum("bd,pcd->pbc", img, pair_feats, preferred_element_type=jnp.float32)
         * scale
@@ -94,6 +78,40 @@ def om_loss(
     w_out = pair_weights(out_mode, sched["out_pos"], sched["out_len"], layer_weight)
     w = jnp.where(sched["pair_valid"], w_in * w_out, 0.0)
     return jnp.sum(ce * w)
+
+
+def om_loss(
+    params: Any,                 # {"clip": clip params, "layer_weight": [L]}
+    images: jnp.ndarray,         # [B, H, W, 3]
+    node_tokens: jnp.ndarray,    # [N_pad, T] int32 (full prompt bank)
+    sched: Dict[str, jnp.ndarray],  # device-side PairSchedule arrays
+    *,
+    clip_cfg: CLIPConfig,
+    dtype,
+    in_mode: str,
+    out_mode: str,
+    remat: bool = False,
+    text_fn: Callable = None,
+) -> jnp.ndarray:
+    clip_params = params["clip"]
+
+    img = encode_image(clip_params, clip_cfg, images, dtype=dtype, remat=remat)
+    img = l2_normalize(img)                                   # [B, D]
+
+    if text_fn is None:
+        toks = node_tokens[sched["unique"]]                    # [U, T]
+        tfeat = encode_text(clip_params, clip_cfg, toks, dtype=dtype, remat=remat)
+        tfeat = l2_normalize(tfeat)                            # [U, D]
+    else:
+        # variant text path (e.g. the CoOp prompt learner): maps class ids
+        # to normalized features using whatever trainable leaves it needs
+        tfeat = text_fn(params, sched["unique"])               # [U, D]
+
+    scale = jnp.exp(clip_params["logit_scale"])
+    return pair_ce_loss(
+        img, tfeat, sched, params["layer_weight"], scale,
+        in_mode=in_mode, out_mode=out_mode,
+    )
 
 
 def make_om_loss_fn(

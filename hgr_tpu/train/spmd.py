@@ -1,17 +1,22 @@
-"""Multi-replica (SPMD) OM training: one class per replica per step.
+"""Multi-replica (SPMD) OM training: one class per data replica per step,
+encoder FLOPs sharded over the WHOLE 2-D mesh.
 
 The grouped-batch invariant (every batch is a single class) interacts with
 data parallelism: sharding ONE class's batch across devices would leave every
-device computing identical text encodes. Instead each replica gets its OWN
-class batch + pair schedule, the per-replica losses are averaged, and one
+device computing identical text encodes. Instead each data replica gets its
+OWN class batch + pair schedule, the per-replica losses are averaged, and one
 optimizer update is applied — the SPMD generalization of the reference's
 single-GPU loop (which had no DP at all; SURVEY §2.5).
 
-Mechanics: the per-replica loss is ``vmap``-ed over a leading replica axis
-and the inputs carry shardings that put that axis on the mesh's ``data``
-dimension; GSPMD turns the vmap into per-device compute + an all-reduce of
-the gradients. Parameters and optimizer state stay replicated, so the update
-is computed redundantly and identically on every device (standard DP).
+The ``model`` mesh axis carries real work here (not just eval): the image
+batches and the de-duplicated compare-prompt token sets of ALL replicas are
+flattened and resharded over ``(data, model)`` jointly, so every device
+encodes ``R*B/(d*m)`` images and ``R*U/(d*m)`` prompts — without this, model
+columns within a data row would run redundant identical encoder passes. The
+encoded features are then gathered back to ``P(data)`` (a few MB over ICI)
+and the cheap per-pair CE runs vmapped per replica. GSPMD emits the
+reshard/gather collectives from the ``with_sharding_constraint`` boundaries;
+the gradient all-reduce falls out of the replicated-params jit as usual.
 """
 
 from __future__ import annotations
@@ -25,9 +30,10 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..models.clip import CLIPConfig
-from ..parallel.mesh import DATA
-from .om import make_om_loss_fn
+from ..models.clip import CLIPConfig, encode_image, encode_text
+from ..models.layers import l2_normalize
+from ..parallel.mesh import DATA, MODEL
+from .om import pair_ce_loss, resolve_weight_modes
 from .sampling import PairSchedule
 from .trainer import TrainState
 
@@ -70,23 +76,51 @@ def make_spmd_train_step(
     """-> jitted ``step(state, images [R,B,...], node_tokens, sched [R,...])``.
 
     ``R`` must equal the mesh's ``data`` axis size; images/schedules are
-    sharded one replica per data-axis slot, params/opt replicated.
+    sharded one replica per data-axis slot, params/opt replicated. Encoder
+    passes are resharded over ``(data, model)`` internally (see module doc).
     """
-    loss_fn = make_om_loss_fn(
-        clip_cfg,
-        dtype,
-        config.training_method,
-        config.weights,
-        config.weighting,
-        remat=False,
-        text_fn=text_fn,
+    in_mode, out_mode = resolve_weight_modes(
+        config.training_method, config.weights, config.weighting
     )
+    remat = getattr(config, "remat", False)
+    both = NamedSharding(mesh, P((DATA, MODEL)))
+    both_tok = NamedSharding(mesh, P((DATA, MODEL), None))
+    data_only = NamedSharding(mesh, P(DATA))
 
     def mean_loss(params, images, node_tokens, sched):
+        clip_params = params["clip"]
+        R, B = images.shape[0], images.shape[1]
+
+        # image encode over the full mesh: [R*B] rows split over data*model
+        flat = images.reshape((R * B,) + images.shape[2:])
+        flat = jax.lax.with_sharding_constraint(flat, both)
+        img = encode_image(clip_params, clip_cfg, flat, dtype=dtype, remat=remat)
+        img = l2_normalize(img)
+        img = jax.lax.with_sharding_constraint(
+            img.reshape(R, B, -1), data_only
+        )
+
+        if text_fn is None:
+            U = sched["unique"].shape[1]
+            toks = node_tokens[sched["unique"].reshape(-1)]     # [R*U, T]
+            toks = jax.lax.with_sharding_constraint(toks, both_tok)
+            tf = encode_text(clip_params, clip_cfg, toks, dtype=dtype, remat=remat)
+            tf = l2_normalize(tf)
+            tf = jax.lax.with_sharding_constraint(
+                tf.reshape(R, U, -1), data_only
+            )
+        else:
+            # variant text path (CoOp prompt learner): per-replica vmap
+            tf = jax.vmap(lambda u: text_fn(params, u))(sched["unique"])
+
+        scale = jnp.exp(clip_params["logit_scale"])
         per_replica = jax.vmap(
-            lambda img, sch: loss_fn(params, img, node_tokens, sch),
-            in_axes=(0, 0),
-        )(images, sched)
+            lambda im, t, sch: pair_ce_loss(
+                im, t, sch, params["layer_weight"], scale,
+                in_mode=in_mode, out_mode=out_mode,
+            ),
+            in_axes=(0, 0, 0),
+        )(img, tf, sched)
         return per_replica.mean()
 
     def step(state: TrainState, images, node_tokens, sched):

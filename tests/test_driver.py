@@ -110,3 +110,27 @@ def test_dryrun_multichip_self_forces_cpu_mesh(monkeypatch):
     monkeypatch.setattr(ge, "_dryrun_body", lambda n: called.setdefault("n", n))
     ge.dryrun_multichip(8)
     assert called["n"] == 8
+
+
+def test_spmd_train_rounds_up_remainder_batches(tmp_path, monkeypatch):
+    """Driver SPMD path: an episode count not divisible by the replica count
+    must be rounded UP (round 1 silently dropped the remainder)."""
+    monkeypatch.chdir(tmp_path)
+    from hgr_tpu.driver import main
+
+    folder = str(tmp_path / "runs")
+    main(
+        [
+            "--synthetic", "True", "--arch", "TEST-RN", "--dtype", "float32",
+            "--folder", folder, "--epochs", "1", "--batch_size", "2",
+            "--n_episodes", "5", "--num_compare", "4", "--lr", "1e-3",
+            "--mesh_data", "4", "--mesh_model", "2", "--remat", "False",
+        ]
+    )
+    log = open(os.path.join(
+        folder, "HGR", "adaptive_0.25_0.5", "arguments.log")).read()
+    # 5 episodes over 4 replicas -> rounded up to 8 -> 2 steps per epoch
+    assert "0/2" in log
+    assert os.path.isdir(
+        os.path.join(folder, "HGR", "adaptive_0.25_0.5", "clip_0")
+    )

@@ -28,10 +28,14 @@ from hgr_tpu.train.spmd import make_spmd_train_step, stack_schedules  # noqa: E4
 from hgr_tpu.tree_model import TreeModel  # noqa: E402
 
 
-def test_spmd_step_matches_mean_of_replica_losses():
+@pytest.mark.parametrize("data,model", [(2, 4), (4, 2), (8, 1)])
+def test_spmd_step_matches_mean_of_replica_losses(data, model):
+    """Mesh-shape sweep incl. model>1: the encoder passes reshard over the
+    full data x model mesh (train/spmd.py) and must still equal the
+    single-device mean-gradient oracle."""
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
-    mesh = make_mesh(data=2, model=4)
+    mesh = make_mesh(data=data, model=model)
 
     hier = synthetic_hierarchy(3, 4, 5, 0)
     cfg = Config(arch="TEST-RN", num_compare=4, lr=1e-3, w_lr=1e-3, remat=False)
@@ -42,11 +46,11 @@ def test_spmd_step_matches_mean_of_replica_losses():
     sampler = NegativeSampler(hier, np.arange(hier.num_nodes), 4, seed=0)
     builder = ScheduleBuilder(hier, sampler, 0.25, 0.5, 4)
     deep = hier.level(hier.max_depth)
-    targets = [int(deep[i % len(deep)]) for i in range(2)]
+    targets = [int(deep[i % len(deep)]) for i in range(data)]
     scheds = [builder.build(t) for t in targets]
 
     rng = np.random.default_rng(0)
-    images = rng.standard_normal((2, 2, 32, 32, 3)).astype(np.float32)
+    images = rng.standard_normal((data, 2, 32, 32, 3)).astype(np.float32)
     node_tokens = jnp.asarray(tm.node_tokens)
 
     tx = make_optimizer(cfg, total_steps=10)
@@ -63,7 +67,7 @@ def test_spmd_step_matches_mean_of_replica_losses():
     singles = [
         float(loss_fn(state.params, jnp.asarray(images[r]), node_tokens,
                       sched_to_device(scheds[r])))
-        for r in range(2)
+        for r in range(data)
     ]
     np.testing.assert_allclose(float(loss), np.mean(singles), rtol=1e-5)
 
@@ -73,7 +77,7 @@ def test_spmd_step_matches_mean_of_replica_losses():
             jnp.stack([
                 loss_fn(params, jnp.asarray(images[r]), node_tokens,
                         sched_to_device(scheds[r]))
-                for r in range(2)
+                for r in range(data)
             ])
         )
 
@@ -82,7 +86,12 @@ def test_spmd_step_matches_mean_of_replica_losses():
     want = optax.apply_updates(state.params, updates)
     got_leaves = jax.tree_util.tree_leaves(new_state.params)
     want_leaves = jax.tree_util.tree_leaves(want)
-    for a, b in zip(got_leaves, want_leaves):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+    grad_leaves = jax.tree_util.tree_leaves(grads)
+    for a, b, g in zip(got_leaves, want_leaves, grad_leaves):
+        # AdamW's first-step update is ~lr*sign(m/sqrt(v)): where the true
+        # gradient is fp32-noise-level, cross-replica summation-order noise
+        # legitimately flips the sign, so compare only meaningful entries
+        m = np.abs(np.asarray(g)) > 1e-6
+        np.testing.assert_allclose(np.asarray(a)[m], np.asarray(b)[m],
                                    rtol=5e-3, atol=3e-5)
     assert int(new_state.step) == 1
