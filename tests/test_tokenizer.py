@@ -76,3 +76,38 @@ def test_load_merges_slice_size():
     except FileNotFoundError:
         pytest.skip("CLIP BPE vocab asset not available")
     assert len(merges) == 49152 - 256 - 2
+
+
+def test_token_bank_truncation_exact():
+    """TreeModel truncates the token bank past the longest EOT (rounded to a
+    multiple of 16). Causal mask + EOT pooling make dropped positions
+    mathematically unreachable; the only residual difference is XLA picking
+    size-dependent GEMM kernels (~1e-6 fp32 noise), so compare tightly."""
+    import jax
+    import jax.numpy as jnp
+
+    from hgr_tpu.config import Config
+    from hgr_tpu.hierarchy import synthetic_hierarchy
+    from hgr_tpu.models.clip import clip_init, encode_text, get_config
+    from hgr_tpu.tree_model import TreeModel, synthetic_tokens
+
+    hier = synthetic_hierarchy(3, 3, 2, 0)
+    cfg = Config(arch="TEST-RN", dtype="float32")
+    tm = TreeModel.build(cfg, hier, pad_multiple=16)
+    ccfg = get_config("TEST-RN")
+    # bank truncated to a 16-multiple covering the longest prompt
+    T = tm.node_tokens.shape[1]
+    assert T < ccfg.context_length and T % 16 == 0
+    assert int(tm.node_tokens.argmax(axis=1).max()) < T
+
+    full = synthetic_tokens(hier.num_nodes, ccfg.context_length,
+                            ccfg.vocab_size, seed=cfg.seed)
+    params = clip_init(jax.random.PRNGKey(0), ccfg)
+    f_full = encode_text(params, ccfg, jnp.asarray(full), dtype=jnp.float32)
+    f_trunc = encode_text(
+        params, ccfg, jnp.asarray(tm.node_tokens[: hier.num_nodes]),
+        dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_full), np.asarray(f_trunc), atol=1e-5, rtol=1e-5
+    )
