@@ -163,12 +163,14 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     bank_s = tm.sort_bank(bank)
     batch_sharding = None
     sharded_step = None
+    data_shards = 1
     if len(jax.devices()) > 1 and (config.mesh_model > 1 or config.mesh_data != 1):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .parallel.mesh import DATA, MODEL, make_mesh
 
         mesh = make_mesh(data=config.mesh_data, model=config.mesh_model)
+        data_shards = mesh.shape[DATA]
         bank_s = jax.device_put(bank_s, NamedSharding(mesh, P(MODEL, None)))
         batch_sharding = NamedSharding(mesh, P(DATA))
         # params must live on the same device set (replicated)
@@ -183,11 +185,14 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     grouped = _grouped_split(
         config, config.data_split_test, splits[config.data_test], splits
     )
+    # the batch axis shards over `data`: round the loader batch UP to a mesh
+    # multiple (padded rows carry valid=False and don't affect metrics)
+    test_bs = config.test_batch_size + (-config.test_batch_size) % data_shards
     loader = GroupedTestLoader(
         grouped,
         {c: tm.hier.name_to_id[c] for c in grouped},
         _image_source(config, tm.clip_cfg.image_resolution),
-        config.test_batch_size,
+        test_bs,
         num_threads=config.num_workers,
     )
     logger.log_text(f"number of batches:{loader.num_batches}")

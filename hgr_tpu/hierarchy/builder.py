@@ -224,3 +224,118 @@ def hops_splits(
 def save_edges(edges: Sequence[Edge], path: str) -> None:
     with open(path, "w") as f:
         json.dump([list(e) for e in edges], f)
+
+
+# The exact scale the reference pipeline produces (supp Table 1; pinned in
+# code comments at data/train_test_split_backup.py:86-89 and printed by
+# data/hops.py:49-85). A regeneration run MUST reproduce these or the
+# downstream node ordering / published-metric parity is void.
+REFERENCE_COUNTS = {
+    "nodes": 18278,        # classes in graph_edges_cls.json
+    "train": 983,          # seen classes
+    "rest": 17295,         # unseen classes (= nodes - train)
+    "layers": 12,          # hierarchy depth layers (supp Table 3)
+    "hop2": 1533,          # data/hops.py printed counts
+    "hop3": 6986,
+    "hop3_pure": 5453,
+}
+
+
+def verify_reference_counts(
+    num_nodes: int,
+    splits: Dict[str, List[str]],
+    hops: Dict[str, List[str]] = None,
+    n_layers: int = None,
+    strict: bool = True,
+) -> List[str]:
+    """Self-check a regenerated hierarchy against :data:`REFERENCE_COUNTS`.
+
+    Returns the list of mismatch descriptions (empty = parity); raises
+    ``ValueError`` when ``strict`` and any mismatch exists."""
+    want = REFERENCE_COUNTS
+    got = {
+        "nodes": num_nodes,
+        "train": len(splits["train"]),
+        "rest": len(splits["rest"]),
+    }
+    if n_layers is not None:
+        got["layers"] = n_layers
+    if hops is not None:
+        got.update({k: len(hops[k]) for k in ("hop2", "hop3", "hop3_pure")})
+    problems = [
+        f"{k}: got {v}, reference pins {want[k]}"
+        for k, v in got.items() if v != want[k]
+    ]
+    if problems and strict:
+        raise ValueError(
+            "regenerated hierarchy does not match the reference scale:\n  "
+            + "\n  ".join(problems)
+        )
+    return problems
+
+
+def main(argv=None) -> None:
+    """Regenerate the hierarchy artifacts end-to-end and self-check counts.
+
+    Usage::
+
+        python -m hgr_tpu.hierarchy.builder \
+            --testsets imagenet-testsets.json --winter winter_2021.txt \
+            [--xml structure_release.xml] --out data/process_results
+
+    Without ``--xml`` the WordNet fallback builder is used (requires the NLTK
+    corpus). Mirrors the reference's offline chain ``hierarchical.py`` ->
+    ``remove_irrelevant.py`` -> ``hops.py`` (SURVEY §3.3) and asserts the
+    pinned 18,278 / 983 / 17,295 scale unless ``--no-strict``.
+    """
+    import argparse
+    import os
+
+    from .tree import Hierarchy
+
+    ap = argparse.ArgumentParser("hierarchy-builder")
+    ap.add_argument("--testsets", required=True,
+                    help="imagenet-testsets.json (official class lists)")
+    ap.add_argument("--winter", required=True, help="winter_2021.txt")
+    ap.add_argument("--xml", default="", help="structure_release.xml")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--no-strict", action="store_true")
+    args = ap.parse_args(argv)
+
+    with open(args.testsets) as f:
+        testsets = json.load(f)
+    with open(args.winter) as f:
+        winter = [l.strip() for l in f if l.strip()]
+
+    if args.xml:
+        edges = edges_from_structure_xml(args.xml)
+    else:
+        edges = edges_from_wordnet(testsets["all"])
+    full_nodes = {v for _, v in edges}
+    splits = filter_splits(testsets, winter, full_nodes)
+    cls_edges = contract_graph(edges, splits["all"])
+    hier = Hierarchy.from_edges(cls_edges)
+    hops = hops_splits(testsets, winter, set(hier.names))
+
+    os.makedirs(args.out, exist_ok=True)
+    save_edges(cls_edges, os.path.join(args.out, "graph_edges_cls.json"))
+    with open(os.path.join(args.out, "splits_for_tree.json"), "w") as f:
+        json.dump(splits, f)
+    with open(os.path.join(args.out, "splits_for_hops.json"), "w") as f:
+        json.dump(hops, f)
+
+    problems = verify_reference_counts(
+        hier.num_nodes, splits, hops, n_layers=hier.max_depth + 1,
+        strict=not args.no_strict,
+    )
+    for p in problems:
+        print(f"WARNING: {p}")
+    print(
+        f"hierarchy: {hier.num_nodes} nodes, {hier.max_depth + 1} layers; "
+        f"splits train={len(splits['train'])} rest={len(splits['rest'])}; "
+        f"hops {len(hops['hop2'])}/{len(hops['hop3'])}/{len(hops['hop3_pure'])}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,3 +45,62 @@ def test_xml_edges(tmp_path):
     assert set(h.names) == {"n1", "n2", "n3", "n4", "n00021265", "food1"}
     assert h.depth[h.name_to_id["n4"]] == 2
     assert h.depth[h.name_to_id["food1"]] == 1
+
+
+def test_verify_reference_counts():
+    from hgr_tpu.hierarchy.builder import (
+        REFERENCE_COUNTS,
+        verify_reference_counts,
+    )
+
+    ok_splits = {
+        "train": ["x"] * REFERENCE_COUNTS["train"],
+        "rest": ["y"] * REFERENCE_COUNTS["rest"],
+    }
+    assert verify_reference_counts(
+        REFERENCE_COUNTS["nodes"], ok_splits, strict=True
+    ) == []
+
+    import pytest as _pytest
+
+    bad = {"train": ["x"] * 10, "rest": ["y"] * REFERENCE_COUNTS["rest"]}
+    with _pytest.raises(ValueError, match="train: got 10"):
+        verify_reference_counts(REFERENCE_COUNTS["nodes"], bad, strict=True)
+    problems = verify_reference_counts(
+        REFERENCE_COUNTS["nodes"], bad, strict=False
+    )
+    assert len(problems) == 1
+
+
+def test_builder_cli_end_to_end(tmp_path, capsys):
+    """Regeneration CLI: XML -> contraction -> splits -> hops -> count report
+    (no-strict so the toy scale passes)."""
+    import json
+
+    from hgr_tpu.hierarchy.builder import main
+
+    xml = tmp_path / "structure_release.xml"
+    xml.write_text(XML)
+    testsets = {
+        "train": ["n2"],
+        "all": ["n2", "n4", "food1"],
+        "2-hops": ["n4"],
+        "3-hops": ["food1"],
+        "3-hops-pure": [],
+    }
+    (tmp_path / "testsets.json").write_text(json.dumps(testsets))
+    (tmp_path / "winter.txt").write_text("n2\nn4\nfood1\n")
+    out = tmp_path / "out"
+    main([
+        "--testsets", str(tmp_path / "testsets.json"),
+        "--winter", str(tmp_path / "winter.txt"),
+        "--xml", str(xml), "--out", str(out), "--no-strict",
+    ])
+    edges = json.loads((out / "graph_edges_cls.json").read_text())
+    splits = json.loads((out / "splits_for_tree.json").read_text())
+    hops = json.loads((out / "splits_for_hops.json").read_text())
+    h = Hierarchy.from_edges([tuple(e) for e in edges])
+    assert set(h.names) == {"n2", "n4", "food1"}
+    assert splits["train"] == ["n2"] and set(splits["rest"]) == {"n2", "n4", "food1"}
+    assert hops["hop2"] == ["n4"]
+    assert "WARNING" in capsys.readouterr().out
