@@ -80,17 +80,24 @@ def transformer_apply(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     attn_fn=None,
-    remat: bool = False,
+    remat=False,
 ) -> jnp.ndarray:
     """Run the stacked blocks with ``lax.scan``.
 
     ``remat=True`` wraps the block in ``jax.checkpoint`` so the backward pass
     rematerializes activations (HBM for FLOPs — the standard TPU trade).
+    ``remat`` may also name a ``jax.checkpoint_policies`` policy (e.g.
+    ``"dots_with_no_batch_dims_saveable"``) for selective checkpointing:
+    matmul outputs are saved, only cheap elementwise ops recompute in the
+    backward — most of full remat's memory saving at a fraction of its
+    recompute cost.
     """
     def body(block_p, h):
         return block_apply(block_p, h, num_heads, mask, attn_fn)
 
-    if remat:
+    if isinstance(remat, str):
+        body = jax.checkpoint(body, policy=getattr(jax.checkpoint_policies, remat))
+    elif remat:
         body = jax.checkpoint(body)
 
     def step(h, block_p):

@@ -73,3 +73,24 @@ def test_sorted_eval_step_matches_unsorted(tiny_hierarchy):
         m2 = tm.eval_step_sorted(tm.params, bank_s, imgs, target)
         for a, b in zip(m1, m2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_transformer_policy_remat_matches_full_remat():
+    """remat may name a jax.checkpoint_policies policy (selective
+    checkpointing); outputs and grads must equal the full-remat path."""
+    from hgr_tpu.models.transformer import transformer_apply, transformer_init
+
+    rng = np.random.default_rng(0)
+    p = transformer_init(jax.random.PRNGKey(0), width=32, layers=3)
+    x = jnp.asarray(rng.standard_normal((4, 8, 32)), jnp.float32)
+
+    def loss(p, remat):
+        out = transformer_apply(p, x, num_heads=4, remat=remat)
+        return jnp.sum(out**2)
+
+    for variant in ("dots_saveable", "dots_with_no_batch_dims_saveable"):
+        l_full, g_full = jax.value_and_grad(loss)(p, True)
+        l_pol, g_pol = jax.value_and_grad(loss)(p, variant)
+        np.testing.assert_allclose(float(l_full), float(l_pol), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_pol)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
