@@ -19,6 +19,7 @@ and usable offline; nothing here touches the accelerator.
 
 from __future__ import annotations
 
+import json
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -110,6 +111,28 @@ def inject_fc(resnet_params, fc_vectors: np.ndarray):
         "b": jnp.asarray(fc_vectors[:, -1]),      # [C]
     }
     return p
+
+
+def tr_word_vectors(feats: np.ndarray) -> np.ndarray:
+    """The reference's "Tr" (CLIP-text-feature) node-embedding preprocessing:
+    ``cat((pred, pred, ones), 1)`` then L2-normalize
+    (``train_gcn_dense_trans.py:70-77``). The doubling + ones column pads the
+    CLIP feature to the dimensionality convention the dense-graph GCN weights
+    were sized for."""
+    f = np.asarray(feats, np.float32)
+    out = np.concatenate([f, f, np.ones((f.shape[0], 1), np.float32)], axis=1)
+    return out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+
+
+def fc_vectors_from_json(path: str, normalize: bool = True) -> np.ndarray:
+    """Load the reference's ``fc-weights.json`` (``[[wnid, vector], ...]``,
+    consumed at ``train_gcn_dense_trans.py:57-68``) -> [N, D] float32."""
+    with open(path) as f:
+        rows = json.load(f)
+    fc = np.asarray([r[1] for r in rows], np.float32)
+    if normalize:
+        fc = fc / np.maximum(np.linalg.norm(fc, axis=1, keepdims=True), 1e-12)
+    return fc
 
 
 def logits_with_bias_column(features: np.ndarray, pred_vectors: np.ndarray):

@@ -15,10 +15,14 @@ engine:
 Feature inputs: with ``--synthetic`` the frozen-backbone features are
 fabricated as class prototypes (a linear map of the class embedding) plus
 noise, so every baseline's learning signal is real and the hierarchical
-metrics are meaningful end-to-end without ImageNet. With real data, features
-come from the standard ResNet-50 extractor (``models/resnet_std.py``) over
-the split manifests, and class embeddings from ``text_feats.json``
-(``tools/export_text_feats.py``).
+metrics are meaningful end-to-end without ImageNet. Real inputs plug in via
+``--attrs_path`` (class embeddings: ``text_feats.json`` for the paper's
+"Tr" rows — producer ``tools/export_text_feats.py`` — or ``glove:<txt>``
+for "w2v") and ``--protos_path`` (``fc-weights.json`` / a torch ResNet-50
+checkpoint / ``.npy``); ``--tr_concat`` applies the reference's Tr
+embedding preprocessing (``train_gcn_dense_trans.py:70-77``). Real image
+FEATURES at eval still come from prototypes+noise here; full image-pipeline
+extraction lives in ``models/resnet_std.py`` + ``data/pipeline.py``.
 """
 
 from __future__ import annotations
@@ -45,6 +49,52 @@ def build_eval_tables(hier, splits):
         chains[i, : len(c)] = c
         chain_len[i] = len(c)
     return train_mask, test_mask, chains, chain_len
+
+
+def load_attrs(path: str, hier, names_path: str = "") -> np.ndarray:
+    """Real class-embedding sources, matching the reference consumers:
+
+    - ``*.json`` — ``text_feats.json`` (list of ``[1, D]`` rows in node
+      order; producer ``tools/export_text_feats.py``, consumed upstream at
+      ``train_gcn_dense_trans.py:70``) — the paper's "Tr" rows;
+    - ``glove:<vectors.txt>`` — GloVe word vectors keyed by class NAME
+      (``materials/make_induced_graph.py`` / ``glove.py``) — the "w2v" rows;
+      ``names_path`` maps wnid -> human name (``tools/export_wordnet_names``);
+    - ``*.npy`` — any precomputed [N, D] matrix.
+    """
+    if path.startswith("glove:"):
+        from .materials import GloVe, wnid_vectors
+
+        names = json.load(open(names_path)) if names_path else {}
+        g = GloVe.from_txt(path[len("glove:"):])
+        a = wnid_vectors(g, list(hier.names), names)
+    elif path.endswith(".json"):
+        rows = json.load(open(path))
+        a = np.asarray([r[0] for r in rows], np.float32)
+    else:
+        a = np.load(path).astype(np.float32)
+    if a.shape[0] != hier.num_nodes:
+        raise ValueError(
+            f"attrs rows {a.shape[0]} != hierarchy nodes {hier.num_nodes}"
+        )
+    norm = np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    return (a / norm).astype(np.float32)
+
+
+def load_protos(path: str) -> np.ndarray:
+    """Real per-class feature prototypes: ``fc-weights.json`` rows
+    (``train_gcn_dense_trans.py:57-68``), a torch ResNet checkpoint's fc
+    (``materials/process_resnet.py``), or a [N, D] ``.npy``."""
+    if path.endswith(".json"):
+        from .materials import fc_vectors_from_json
+
+        return fc_vectors_from_json(path)
+    if path.endswith((".pt", ".pth")):
+        from .materials import fc_vectors_from_torch_resnet
+
+        return fc_vectors_from_torch_resnet(path)
+    p = np.load(path).astype(np.float32)
+    return p / np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-12)
 
 
 def synthetic_problem(hier, splits, feat_dim=64, attr_dim=32, seed=0):
@@ -288,6 +338,16 @@ def main(argv=None):
                     default=True)
     ap.add_argument("--graph_path", default="")
     ap.add_argument("--split_path", default="")
+    ap.add_argument("--attrs_path", default="", help=(
+        "class embeddings: text_feats.json (Tr), glove:<vectors.txt> (w2v), "
+        "or .npy; default synthetic"))
+    ap.add_argument("--protos_path", default="", help=(
+        "class prototypes: fc-weights.json, torch resnet .pt/.pth, or .npy; "
+        "default derived from attrs"))
+    ap.add_argument("--names_path", default="", help="wnid->name json for glove:")
+    ap.add_argument("--tr_concat", action="store_true", help=(
+        "apply the reference's Tr preprocessing cat((f,f,ones)) + normalize "
+        "(train_gcn_dense_trans.py:70-77)"))
     ap.add_argument("--feat_dim", type=int, default=64)
     ap.add_argument("--attr_dim", type=int, default=32)
     ap.add_argument("--hid_dim", type=int, default=128)
@@ -323,9 +383,37 @@ def main(argv=None):
         run_clip_flat(args, hier, splits)
         return
 
-    attrs, protos = synthetic_problem(
-        hier, splits, args.feat_dim, args.attr_dim, args.seed
+    attrs = (
+        load_attrs(args.attrs_path, hier, args.names_path)
+        if args.attrs_path else None
     )
+    protos = load_protos(args.protos_path) if args.protos_path else None
+    if protos is not None and protos.shape[0] != hier.num_nodes:
+        raise ValueError(
+            f"protos rows {protos.shape[0]} != hierarchy nodes {hier.num_nodes}"
+        )
+    if attrs is None and protos is None:
+        attrs, protos = synthetic_problem(
+            hier, splits, args.feat_dim, args.attr_dim, args.seed
+        )
+    elif protos is None:
+        # real embeddings, no real prototypes: derive learnable prototypes
+        # from the real embeddings (same linear-map construction as the
+        # synthetic problem, but anchored to the provided attrs)
+        rng = np.random.default_rng(args.seed)
+        w = rng.standard_normal((attrs.shape[1], args.feat_dim)).astype(
+            np.float32
+        ) / np.sqrt(attrs.shape[1])
+        protos = attrs @ w
+        protos /= np.maximum(np.linalg.norm(protos, axis=1, keepdims=True), 1e-12)
+    elif attrs is None:
+        attrs, _ = synthetic_problem(
+            hier, splits, args.feat_dim, args.attr_dim, args.seed
+        )
+    if args.tr_concat:
+        from .materials import tr_word_vectors
+
+        attrs = tr_word_vectors(attrs)
     runner = {"cnzsl": run_cnzsl, "gcn": run_gcn, "free": run_free}[args.baseline]
     logit_fn = runner(args, hier, splits, attrs, protos)
     summary = evaluate_logit_model(
