@@ -60,6 +60,8 @@ class Config:
     hops_path: str = ""  # optional splits_for_hops.json; merges hop2/hop3/... keys
     max_test_batches: int = -1  # cap eval batches (quick validation runs)
     image_root: str = ""  # prefix joined to manifest-relative image paths
+    trace_dir: str = ""  # capture a jax profiler trace (xprof) of early
+    # train steps into this directory (utils/profiling.TraceWindow)
 
     # train (main.py:46-62)
     open_eval: bool = True  # reference: True keeps the model in eval() during

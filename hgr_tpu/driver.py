@@ -414,7 +414,11 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
 
     logger.log_config(config)
     steps_per_epoch = num_batches // n_replicas
+    from .utils.profiling import TraceWindow
+
+    tracer = TraceWindow(config.trace_dir)
     for epoch in range(config.from_epoch + 1, config.epochs):
+        epoch_t0 = time.time()
         if config.sample_strategy in ("simi", "near_simi"):
             # refresh the similarity-ranking bank once per epoch (the
             # reference re-encodes per step inside no_grad; see sampling.py)
@@ -425,6 +429,7 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
         for i, (images, sched_host) in enumerate(
             Prefetcher(_prefetch_steps, depth=2)
         ):
+            tracer.before(i)
             if spmd_step is not None:
                 state, loss = spmd_step(
                     state, jnp.asarray(images), node_tokens,
@@ -435,8 +440,20 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
                     state, jnp.asarray(images), node_tokens,
                     sched_to_device(sched_host),
                 )
+            tracer.after(i, loss)
             if i % config.print_freq == 0:
                 logger.log_train(epoch, i, steps_per_epoch, float(loss))
+        jax.block_until_ready(state.params["layer_weight"])
+        epoch_dt = time.time() - epoch_t0
+        logger.log_jsonl({
+            "event": "epoch_perf",
+            "epoch": epoch,
+            "steps": steps_per_epoch,
+            "step_ms": round(epoch_dt / max(steps_per_epoch, 1) * 1e3, 1),
+            "imgs_per_sec": round(
+                num_batches * config.batch_size / max(epoch_dt, 1e-9), 1
+            ),
+        })
         tm.params = state.params["clip"]
         tm.layer_weight = state.params["layer_weight"]
         if config.coop:

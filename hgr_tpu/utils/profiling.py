@@ -65,3 +65,30 @@ class StepTimer:
             "p95_ms": float(np.percentile(t, 95) * 1e3),
             "items_per_sec": float(items_per_step / t.mean()),
         }
+
+
+class TraceWindow:
+    """Capture a profiler trace of train steps [start, stop] (0-indexed
+    within the run). Call :meth:`before` ahead of each step and
+    :meth:`after` behind it; no-op when ``log_dir`` is empty, so the driver
+    can call it unconditionally (``--trace_dir``)."""
+
+    def __init__(self, log_dir: Optional[str], start: int = 1, stop: int = 3):
+        self.log_dir = log_dir
+        self.start = start
+        self.stop = stop
+        self._active = False
+        self._done = False
+
+    def before(self, i: int) -> None:
+        if self.log_dir and not self._done and i == self.start:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def after(self, i: int, result=None) -> None:
+        if self._active and i >= self.stop:
+            if result is not None:
+                jax.block_until_ready(result)
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True

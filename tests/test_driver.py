@@ -134,3 +134,39 @@ def test_spmd_train_rounds_up_remainder_batches(tmp_path, monkeypatch):
     assert os.path.isdir(
         os.path.join(folder, "HGR", "adaptive_0.25_0.5", "clip_0")
     )
+
+
+def test_trace_dir_and_epoch_perf(tmp_path, monkeypatch):
+    """--trace_dir captures an xprof trace of early train steps
+    (utils/profiling.TraceWindow) and every epoch logs an epoch_perf
+    record with throughput to metrics.jsonl."""
+    import json
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    from hgr_tpu.driver import main
+
+    folder = str(tmp_path / "runs")
+    trace = str(tmp_path / "trace")
+    main([
+        "--synthetic", "True", "--arch", "TEST-RN", "--dtype", "float32",
+        "--folder", folder, "--epochs", "1", "--batch_size", "2",
+        "--n_episodes", "4", "--num_compare", "4", "--lr", "1e-3",
+        "--trace_dir", trace, "--test_after_train", "False",
+        "--mesh_data", "1",  # single-replica path: 4 real steps, so the
+        # [1, 3] trace window fires (the virtual 8-device mesh would fold
+        # 4 episodes into 1 SPMD step)
+    ])
+    # the profiler writes <trace>/plugins/profile/<ts>/*.xplane.pb
+    found = []
+    for root, _dirs, files in os.walk(trace):
+        found += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz"))]
+    assert found, f"no trace artifacts under {trace}"
+
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(folder, "HGR", "adaptive_0.25_0.5", "metrics.jsonl"))
+    ]
+    perf = [l for l in lines if l.get("event") == "epoch_perf"]
+    assert perf and perf[0]["steps"] == 4
+    assert perf[0]["imgs_per_sec"] > 0
