@@ -124,3 +124,76 @@ def test_om_training_aligns_images_to_class_prompts(tiny_hierarchy):
         f"hit@1 {acc0:.3f} -> {acc1:.3f}, loss {losses[0]:.3f} -> {losses[-1]:.3f}"
     )
     assert losses[-1] < losses[0]
+
+
+def test_coop_training_gradients_reach_ctx_and_align(tiny_hierarchy):
+    """Same learning proof through the CoOp prompt-learner path
+    (``--coop --coop_train both``): retrieval must rise above chance AND the
+    learned context vectors must actually move — catching optimizer-label
+    mistakes (a frozen-by-accident ctx) and dead text_fn wiring (the
+    reference's CoOp OM path is dead code, ``model/clip_coop.py:187-189``)."""
+    from hgr_tpu.eval.bank import build_bank_ids
+
+    hier = tiny_hierarchy
+    cfg = Config(
+        arch="TEST-ViT", dtype="float32", num_compare=6, batch_size=4,
+        lr=2e-3, remat=False, out_ratio=0.01, in_ratio=0.01,
+        sample_strategy="random", coop=True, coop_train="both", n_ctx=4,
+    )
+    tm = TreeModel.build(cfg, hier, pad_multiple=64)
+    tm.init_params(0)
+    static, ctx0 = tm.coop_setup(0)
+    text_fn = tm.coop_text_fn(static)
+
+    leaves = np.asarray(hier.level(hier.max_depth), np.int32)[:6]
+    rng = np.random.default_rng(0)
+    res = tm.clip_cfg.image_resolution
+    imgs = {}
+    for c in leaves:
+        color = 2.0 * rng.standard_normal((1, 1, 1, 3))
+        noise = 0.5 * rng.standard_normal((cfg.batch_size, res, res, 3))
+        imgs[int(c)] = jnp.asarray((color + noise).astype(np.float32))
+
+    def hit1(params):
+        bank = build_bank_ids(
+            params, tm.n_pad, text_fn, chunk=min(64, tm.n_pad),
+            out_dtype=jnp.float32,
+        )
+        correct = total = 0
+        for i, c in enumerate(leaves):
+            logits = np.asarray(tm.forward(params["clip"], bank, imgs[int(c)]))
+            pred = logits[:, leaves].argmax(axis=1)
+            correct += int((pred == i).sum())
+            total += len(pred)
+        return correct / total
+
+    rounds = 24
+    extra_labels = {"coop_ctx": "clip"}  # driver's coop_train="both" mapping
+    tx = make_optimizer(cfg, total_steps=rounds * len(leaves),
+                        extra_labels=extra_labels)
+    state = init_train_state(tm.params, tm.layer_weight, tx,
+                             extra_params={"coop_ctx": ctx0})
+    step = make_train_step(cfg, tm.clip_cfg, tx, dtype=jnp.float32,
+                           donate=False, text_fn=text_fn)
+    sampler = NegativeSampler(hier, leaves, cfg.num_compare, seed=0)
+    builder = ScheduleBuilder(
+        hier, sampler, cfg.out_ratio, cfg.in_ratio, cfg.num_compare,
+        strategy=cfg.sample_strategy,
+    )
+    node_tokens = jnp.asarray(tm.node_tokens)
+    scheds = {int(c): sched_to_device(builder.build(int(c))) for c in leaves}
+
+    acc0 = hit1(state.params)
+    for _ in range(rounds):
+        for c in leaves:
+            state, loss = step(state, imgs[int(c)], node_tokens, scheds[int(c)])
+    acc1 = hit1(state.params)
+
+    ctx_delta = float(np.abs(np.asarray(state.params["coop_ctx"])
+                             - np.asarray(ctx0)).max())
+    assert ctx_delta > 1e-4, "coop ctx never received gradient updates"
+    assert acc0 <= 0.5
+    assert acc1 >= 0.875, (
+        f"CoOp OM training failed: hit@1 {acc0:.3f} -> {acc1:.3f}, "
+        f"ctx_delta {ctx_delta:.2e}"
+    )
