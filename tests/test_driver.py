@@ -170,3 +170,31 @@ def test_trace_dir_and_epoch_perf(tmp_path, monkeypatch):
     perf = [l for l in lines if l.get("event") == "epoch_perf"]
     assert perf and perf[0]["steps"] == 4
     assert perf[0]["imgs_per_sec"] > 0
+
+
+def test_simi_strategy_refreshes_bank_per_epoch(tmp_path, monkeypatch):
+    """--sample_strategy simi: the driver must refresh the sampler's
+    similarity bank from the CURRENT params each epoch (the reference
+    re-encodes under no_grad per step, clip_tree.py:92; here once per epoch
+    against the cached bank) — exercises the epoch-head branch in
+    run_train."""
+    monkeypatch.chdir(tmp_path)
+    from hgr_tpu.driver import main
+
+    folder = str(tmp_path / "runs")
+    main([
+        "--synthetic", "True", "--arch", "TEST-RN", "--dtype", "float32",
+        "--folder", folder, "--epochs", "2", "--batch_size", "2",
+        "--n_episodes", "2", "--num_compare", "4", "--lr", "1e-3",
+        "--sample_strategy", "simi", "--test_after_train", "False",
+        "--mesh_data", "1",
+    ])
+    import json
+    import os
+
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(folder, "HGR", "adaptive_0.25_0.5", "metrics.jsonl"))
+    ]
+    perf = [l for l in lines if l.get("event") == "epoch_perf"]
+    assert len(perf) == 2  # both epochs completed through the simi branch
