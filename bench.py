@@ -98,8 +98,11 @@ def _eval_rate(tm, hier, batch: int = BATCH, iters: int = 20) -> float:
         jnp.bfloat16,
     )
     res = tm.clip_cfg.image_resolution
+    # raw uint8 at the host->device edge — the production input path
+    # (pipeline raw_uint8 default; normalization fuses into the stem conv
+    # on device, models/clip.py:encode_image) and the smallest transfer
     images = jnp.asarray(
-        rng.standard_normal((batch, res, res, 3)).astype(np.float32), jnp.bfloat16
+        rng.integers(0, 256, (batch, res, res, 3), dtype=np.uint8)
     )
     target = int(hier.level(hier.max_depth)[0])
     bank_s = tm.sort_bank(bank)
@@ -167,7 +170,7 @@ def sec_pipeline(out: dict) -> None:
 
     # compile the eval step once, then time the loader->device loop
     images = jnp.asarray(
-        rng.standard_normal((BATCH, res, res, 3)).astype(np.float32), jnp.bfloat16
+        rng.integers(0, 256, (BATCH, res, res, 3), dtype=np.uint8)
     )
     m = tm.eval_step_sorted(tm.params, bank_s, images, target)
     jax.block_until_ready(m)
@@ -175,10 +178,11 @@ def sec_pipeline(out: dict) -> None:
     n = 0
     t0 = time.perf_counter()
     for b in loader:
-        # bf16 at the host->device edge: halves the transfer and reuses the
-        # eval-step compile from sec_eval (same traced input dtype)
+        # loader batches are raw uint8 (pipeline default): smallest
+        # host->device transfer, device-side normalization, and the same
+        # traced input dtype as sec_eval so the compile is shared
         mt = tm.eval_step_sorted(
-            tm.params, bank_s, jnp.asarray(b.images, jnp.bfloat16),
+            tm.params, bank_s, jnp.asarray(b.images),
             target, valid=jnp.asarray(b.valid),
         )
         n += int(b.valid.sum())
@@ -269,13 +273,6 @@ def main(sections=None) -> None:
 # watchdog
 # ---------------------------------------------------------------------------
 
-_PROBE_SRC = (
-    "import jax, jax.numpy as jnp, numpy as np;"
-    "x = jnp.ones((256, 256), jnp.bfloat16);"
-    "print('probe', float(np.asarray((x @ x))[0, 0]))"
-)
-
-
 def _child(sections, timeout_s: float):
     """Run the given sections in a child process -> (dict-or-None, note)."""
     env = dict(os.environ)
@@ -309,34 +306,31 @@ def _run_with_watchdog() -> None:
     def left() -> float:
         return deadline - time.monotonic()
 
-    # 1. probe the chip: a hung tunnel must not eat a section's budget
-    while left() > 200:
-        try:
-            p = subprocess.run([sys.executable, "-c", _PROBE_SRC],
-                               capture_output=True, text=True, timeout=60)
-            if p.returncode == 0:
-                break
-            print(f"# probe failed (rc={p.returncode}); retrying", flush=True)
-        except subprocess.TimeoutExpired:
-            print("# probe timed out (hung tunnel); retrying", flush=True)
-
-    # 2. section children; eval+pipeline share one child (the pipeline
-    # section reuses the RN50 eval-step compile, the expensive part)
+    # Section children, in priority order: the headline eval gets the
+    # big-compile-day budget first; pipeline re-derives the eval compile so
+    # it runs late. Remote-compile time varies ~2x, and the tunnel hang
+    # strikes processes at RANDOM (measured: three tiny-matmul probes hung,
+    # then a full eval child succeeded) — so no up-front probe; per-section
+    # timeouts + a retry of the headline are the whole defense, and partial
+    # results are expected, not exceptional.
     out: dict = {}
-    plans = [(["eval", "pipeline"], 280), (["vit"], 120), (["train"], 180)]
+    plans = [(["eval"], 250), (["train"], 180), (["pipeline"], 130),
+             (["vit"], 110)]
     for names, t in plans:
         if left() < 45:
             print(f"# skipping {names}: budget exhausted", flush=True)
             continue
-        res, note = _child(names, min(t, max(left() - 15, 30)))
+        if names == ["eval"] and "eval_imgs_per_sec" in out:
+            continue
+        res, note = _child(names, min(t, max(left() - 10, 30)))
         if res is None:
             print(f"# section {names} failed ({note})", flush=True)
-        else:
-            out.update(res)
-    # retry the headline if it failed and time remains
-    if "eval_imgs_per_sec" not in out and left() > 60:
-        res, note = _child(["eval"], left() - 10)
-        if res:
+            if names == ["eval"] and left() > 140:
+                res, note = _child(names, min(250, left() - 10))
+                if res is None:
+                    print(f"# section {names} retry failed ({note})",
+                          flush=True)
+        if res is not None:
             out.update(res)
     _emit(dict(out))
 
