@@ -181,6 +181,14 @@ def run_cnzsl(args, hier, splits, attrs, protos):
 
     all_attrs = jnp.asarray(attrs)
 
+    if args.save_path:
+        # reference CNZSL saves its model after epoch 5 (cnzsl.py:366-368);
+        # the ClassStandardization running stats travel with the params
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(args.save_path, {"params": params, "state": state})
+        print(f"saved cnzsl params + stats -> {args.save_path}", flush=True)
+
     def logit_fn(feats):
         logits, _ = cnzsl_logits(
             params, state, jnp.asarray(feats), all_attrs, cfg, training=False
@@ -234,6 +242,16 @@ def run_gcn(args, hier, splits, attrs, protos):
             print(f"epoch {i}: loss {float(loss):.5f}", flush=True)
 
     pred = gcn_apply(params, cfg, x, adj, r_adj)  # [N, D] normalized
+
+    if args.save_path:
+        # the reference's per-run `.pth` + `.pred` artifact pair
+        # (train_gcn_dense_att.py:13-15): trained weights AND the predicted
+        # per-class classifiers — stage B (evaluate_imagenet.py /
+        # train_resnet_fit.py via materials.inject_fc) consumes `pred`.
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(args.save_path, {"params": params, "pred": pred})
+        print(f"saved gcn params + pred -> {args.save_path}", flush=True)
 
     def logit_fn(feats):
         f = jnp.asarray(feats)
@@ -318,6 +336,14 @@ def run_free(args, hier, splits, attrs, protos):
         batch=min(512, syn.shape[0]),
     )
 
+    if args.save_path:
+        # reference FREE saves netG/netFR per epoch (train_free.py:415-416);
+        # here the full E/G/D/FR params plus the trained final classifier
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(args.save_path, {"params": params, "classifier": clf})
+        print(f"saved free params + classifier -> {args.save_path}", flush=True)
+
     def logit_fn(feats):
         # evaluation features go through the same 0-1 mapping as training
         f01 = np.clip(
@@ -345,6 +371,10 @@ def main(argv=None):
         "class prototypes: fc-weights.json, torch resnet .pt/.pth, or .npy; "
         "default derived from attrs"))
     ap.add_argument("--names_path", default="", help="wnid->name json for glove:")
+    ap.add_argument("--save_path", default="", help=(
+        "save trained baseline artifacts (orbax pytree): gcn -> params + "
+        "predicted classifiers (the reference's .pth/.pred pair), cnzsl -> "
+        "params + standardization stats, free -> params + classifier"))
     ap.add_argument("--tr_concat", action="store_true", help=(
         "apply the reference's Tr preprocessing cat((f,f,ones)) + normalize "
         "(train_gcn_dense_trans.py:70-77)"))

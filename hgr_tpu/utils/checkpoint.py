@@ -83,3 +83,22 @@ def latest_epoch(save_path: str) -> Optional[int]:
                 continue
             best = e if best is None else max(best, e)
     return best
+
+
+def save_pytree(path: str, tree: Any) -> str:
+    """Save an arbitrary pytree (baseline artifacts: GCN params + predicted
+    classifiers — the reference's ``.pth`` + ``.pred`` pair,
+    ``baseline/DGP/train_gcn_dense_att.py:13-15``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_pytree(path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path))

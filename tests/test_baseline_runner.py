@@ -104,3 +104,30 @@ def test_attrs_and_protos_loaders(tmp_path):
     json.dump([[feats[0].tolist()]], open(bad, "w"))
     with pytest.raises(ValueError):
         load_attrs(str(bad), hier)
+
+
+def test_gcn_save_path_roundtrips_pred_artifacts(tmp_path):
+    """--save_path persists the trained GCN params + predicted classifiers
+    (the reference's .pth/.pred pair, train_gcn_dense_att.py:13-15); the
+    pred matrix must round-trip and feed materials.inject_fc (stage B)."""
+    import numpy as np
+
+    from hgr_tpu.utils.checkpoint import load_pytree
+
+    save = tmp_path / "gcn_run"
+    s = main(["--baseline", "gcn", "--variant", "basic", "--steps", "20",
+              "--eval_batch", "2", "--save_path", str(save)])
+    assert "hit@1" in s
+
+    art = load_pytree(str(save))
+    pred = np.asarray(art["pred"])
+    assert pred.ndim == 2 and pred.shape[0] == 120  # runner-default nodes
+    assert np.isfinite(pred).all()
+    assert art["params"], "trained params missing from artifact"
+
+    # stage B: the predicted classifiers drop into a standard ResNet head
+    from hgr_tpu.baselines.materials import inject_fc
+
+    p = inject_fc({"dummy": None}, pred)
+    assert p["fc"]["w"].shape == (pred.shape[1] - 1, pred.shape[0])
+    assert p["fc"]["b"].shape == (pred.shape[0],)
