@@ -120,7 +120,10 @@ class ZeroShotClassifier:
                 imgs = list(
                     pool.map(lambda p: src.load("", [p], 0), chunk)
                 )
-                arr = np.stack(imgs).astype(np.float32)
+                # keep the source dtype: raw uint8 batches are normalized
+                # ON DEVICE by encode_image (models/clip.py) — an astype
+                # to float here would silently skip that normalization
+                arr = np.stack(imgs)
                 ids, vals = self.classify(arr, k)
                 for row_ids, row_vals in zip(ids, vals):
                     out.append(

@@ -65,3 +65,32 @@ def test_classify_files(clf, tmp_path):
     wnid, score = out[0][0]
     assert wnid in clf.tm.hier.name_to_id
     assert out[0] == out[1]
+
+
+def test_classify_files_matches_host_normalized_path(clf, tmp_path):
+    """classify_files ships raw uint8 to the device (normalization fuses
+    into the encoder, models/clip.py); its predictions must match classify()
+    on host-normalized float images — this is the regression where an
+    astype(float32) on raw uint8 silently skipped normalization."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from hgr_tpu.data import FileImageSource
+
+    rng = np.random.default_rng(7)
+    files = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(
+            rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)
+        ).save(p)
+        files.append(str(p))
+
+    out = clf.classify_files(files, k=1, batch=3)
+
+    src = FileImageSource(clf.tm.clip_cfg.image_resolution, raw_uint8=False)
+    arr = np.stack([src.load("", [p], 0) for p in files]).astype(np.float32)
+    ids, _ = clf.classify(arr, k=1)
+    want = [clf.tm.hier.names[int(i)] for i in ids[:, 0]]
+    got = [row[0][0] for row in out]
+    assert got == want
