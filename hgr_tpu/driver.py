@@ -201,8 +201,9 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     t0 = time.time()
     n_img = 0
     for i, batch in enumerate(loader):
-        # transfer f32 and let the jitted step cast to bf16 on device —
-        # host-side ml_dtypes bf16 conversion is far slower than the copy
+        # ship the loader's dtype unchanged (raw uint8 by default: 4x less
+        # transfer than f32, normalization fused on device; host-side bf16
+        # conversion via ml_dtypes is far slower than the copy)
         images = jnp.asarray(batch.images)
         if batch_sharding is not None:
             images = jax.device_put(images, batch_sharding)
