@@ -1,0 +1,81 @@
+"""Differential fuzz: our from-scratch BPE vs the EXECUTED reference
+tokenizer (``/root/reference/clip/simple_tokenizer.py``), loaded by path and
+run as an oracle (the same pattern as the executed-torch encoder oracles).
+
+The reference imports ftfy, which this environment lacks; a stub with
+``fix_text = identity`` is installed and the fuzz corpus is restricted to
+already-clean text (printable ASCII + precomposed unicode), where
+``ftfy.fix_text`` is the identity — exactly the regime of real class names.
+The golden-ids test (``test_tokenizer.py``) pins a handful of cases; this
+one sweeps hundreds of adversarial ones (casing, punctuation runs,
+contractions, numerals, accents, long words, whitespace soup).
+"""
+
+import importlib.util
+import os
+import random
+import string
+import sys
+import types
+
+import pytest
+
+REF = "/root/reference/clip/simple_tokenizer.py"
+VOCAB = "/root/reference/clip/bpe_simple_vocab_16e6.txt.gz"
+
+
+@pytest.fixture(scope="module")
+def pair():
+    if not (os.path.exists(REF) and os.path.exists(VOCAB)):
+        pytest.skip("reference tokenizer not available")
+    if "ftfy" not in sys.modules:
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda s: s
+        sys.modules["ftfy"] = stub
+    spec = importlib.util.spec_from_file_location("ref_simple_tokenizer", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ref = mod.SimpleTokenizer(VOCAB)
+
+    from hgr_tpu.text.bpe import Tokenizer
+
+    return ref, Tokenizer(VOCAB)
+
+
+CORPUS = [
+    "a photo of a dog.",
+    "Tree   with    many spaces",
+    "it's-a-me, mario!!!",
+    "don't stop; won't stop",
+    "ImageNet-21K zero-shot",
+    "naïve café déjà-vu",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    "x" * 200,
+    "MixedCASE WoRdS",
+    "numbers 1234567890 42nd 3.14159",
+    "under_scores and-hyphens and/slashes",
+    "(parenthetical) [bracketed] {braced}",
+    "trailing space ",
+    " leading space",
+    "\ttabs\tand\nnewlines\n",
+    "!!!???...,,,;;;:::",
+    "'quoted' \"double\" `tick`",
+]
+
+
+def test_differential_corpus(pair):
+    ref, ours = pair
+    for text in CORPUS:
+        assert ours.encode(text) == ref.encode(text), repr(text)
+
+
+def test_differential_fuzz(pair):
+    ref, ours = pair
+    rng = random.Random(0)
+    alphabet = (
+        string.ascii_letters + string.digits + string.punctuation + "  éüñàß"
+    )
+    for _ in range(300):
+        n = rng.randint(0, 40)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        assert ours.encode(text) == ref.encode(text), repr(text)
