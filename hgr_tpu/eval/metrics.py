@@ -29,7 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = -1e9  # stands in for the reference's index_fill(-1) on cosine logits
+NEG = -1e9  # true exclusion (column-restriction semantics, e.g. topk/TOR)
+# The per-level constrained argmax does NOT truly exclude out-of-level
+# candidates: the reference fills them with -1 (``main.py:169-171``,
+# ``index_fill(1, rest, -1)``) and -1 IS reachable for cosine*scale logits —
+# when every same-level candidate scores below -1, the reference predicts an
+# out-of-level node (a guaranteed miss at that level). Metric parity
+# requires reproducing that, not masking with -inf (verified against the
+# executed reference in tests/test_metrics_oracle.py).
+FILL = -1.0
 TOPK: Tuple[int, ...] = (1, 2, 5, 10, 20)
 
 
@@ -99,8 +107,15 @@ def path_point(
 
     def one_level(carry, j):
         level = levels[j]
-        mask = (node_depth == level) & train_mask
-        masked = jnp.where(mask[None, :], logits, NEG)
+        # two-tier mask = the reference's fill semantics (main.py:169-171):
+        # out-of-level TRAIN candidates stay in the race at FILL and win
+        # whenever the whole level scores below it; non-train candidates
+        # are truly excluded (the subsequent [:, train_index] restriction)
+        masked = jnp.where(
+            train_mask[None, :],
+            jnp.where((node_depth == level)[None, :], logits, FILL),
+            NEG,
+        )
         pred = jnp.argmax(masked, axis=1)             # [B]
         return carry, pred
 
@@ -159,6 +174,12 @@ def metrics_from_preds(
     test_mask_sorted: jnp.ndarray,
     topk: Sequence[int] = TOPK,
     valid: Optional[jnp.ndarray] = None,
+    lvl_vals: Optional[jnp.ndarray] = None,      # [L_all + 1, B] slot max values
+    fill_outside: Optional[jnp.ndarray] = None,  # [L_all + 1] bool: a train
+    # node OUTSIDE the slot's level exists (the reference's -1 fill
+    # competitor). When given with lvl_vals, a slot whose best level
+    # candidate scores <= FILL counts as a miss (main.py:169-171 semantics;
+    # the sorted argmax itself cannot leave the level).
 ) -> BatchMetrics:
     """Metrics on the depth-sorted fast path (see ops/bank_topk.py
     ``level_argmax_sorted``): identical results to :func:`batch_metrics`,
@@ -188,6 +209,9 @@ def metrics_from_preds(
     Lmax = chain.shape[0]
     pos_valid = jnp.arange(Lmax)[None, :] < chain_len
     match = (preds == chain[None, :]) & pos_valid
+    if lvl_vals is not None and fill_outside is not None:
+        beats_fill = lvl_vals[chain_levels].T > FILL       # [B, Lmax]
+        match = match & (beats_fill | ~fill_outside[chain_levels][None, :])
     if valid is not None:
         match = match & valid[:, None]
     L = chain_len.astype(jnp.float32)

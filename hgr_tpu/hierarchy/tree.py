@@ -87,6 +87,26 @@ class Hierarchy:
         return np.asarray([self.name_to_id[n] for n in names], dtype=np.int32)
 
     # ---- construction ----------------------------------------------------
+    @staticmethod
+    def _nx_chains(edges, names, name_to_id, root):
+        """Root-exclusive ancestor chains via networkx ``shortest_path`` —
+        the reference's literal call (``utils.py:55``). Returns None when
+        networkx is unavailable (caller falls back to forward BFS)."""
+        try:
+            import networkx as nx
+        except ImportError:
+            return None
+        G = nx.DiGraph()
+        G.add_edges_from(edges)
+        chains: List[List[int]] = []
+        try:
+            for n in names:
+                path = nx.shortest_path(G, source=root, target=n)[1:-1]
+                chains.append([name_to_id[p] for p in path])
+        except nx.NetworkXNoPath as e:
+            raise ValueError(f"node unreachable from root: {e}") from e
+        return chains
+
     @classmethod
     def from_edges(cls, edges: Sequence[Tuple[str, str]], root: str = ROOT) -> "Hierarchy":
         """Build from an edge list ``[(parent, child), ...]`` containing ``root``.
@@ -117,34 +137,42 @@ class Hierarchy:
         name_to_id = {n: i for i, n in enumerate(names)}
         n_nodes = len(names)
 
-        # BFS from root: parent[] = first-discovered predecessor => canonical
-        # shortest path root->node.
-        parent: Dict[str, str] = {root: root}
-        dist: Dict[str, int] = {root: 0}
-        q = deque([root])
-        while q:
-            u = q.popleft()
-            for v in succ[u]:
-                if v not in dist:
-                    dist[v] = dist[u] + 1
-                    parent[v] = u
-                    q.append(v)
+        # Canonical root->node chain. The reference defines it as networkx
+        # ``shortest_path`` (``utils.py:55``), whose bidirectional-BFS
+        # tie-breaking differs from a plain forward BFS when several
+        # shortest paths exist (observed: an executed-reference oracle run
+        # diverged on a multi-parent node with two equal-length paths). Use
+        # networkx itself when available so the choice is identical BY
+        # CONSTRUCTION; fall back to forward-BFS first-predecessor order.
+        chains = cls._nx_chains(edges, names, name_to_id, root)
+        if chains is None:
+            parent: Dict[str, str] = {root: root}
+            dist: Dict[str, int] = {root: 0}
+            q = deque([root])
+            while q:
+                u = q.popleft()
+                for v in succ[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        parent[v] = u
+                        q.append(v)
 
-        unreachable = [n for n in names if n not in dist]
-        if unreachable:
-            raise ValueError(
-                f"{len(unreachable)} nodes unreachable from root, e.g. {unreachable[:5]}"
-            )
+            unreachable = [n for n in names if n not in dist]
+            if unreachable:
+                raise ValueError(
+                    f"{len(unreachable)} nodes unreachable from root, "
+                    f"e.g. {unreachable[:5]}"
+                )
 
-        chains: List[List[int]] = []
-        for n in names:
-            path: List[str] = []
-            cur = n
-            while parent[cur] != root:
-                cur = parent[cur]
-                path.append(cur)
-            path.reverse()
-            chains.append([name_to_id[p] for p in path])
+            chains = []
+            for n in names:
+                path: List[str] = []
+                cur = n
+                while parent[cur] != root:
+                    cur = parent[cur]
+                    path.append(cur)
+                path.reverse()
+                chains.append([name_to_id[p] for p in path])
 
         depth = np.asarray([len(c) for c in chains], dtype=np.int32)
         max_chain = max(1, int(depth.max()))

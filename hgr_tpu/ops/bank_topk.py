@@ -20,6 +20,14 @@ fused and bandwidth-bound), so it was removed; see git history.
 Level slots: ``levels[ℓ] >= 0`` constrains to nodes of that depth;
 ``levels[ℓ] == -1`` means "all candidates" (the TOR slot); both intersect
 ``train_mask``.
+
+Fill semantics: the reference keeps out-of-level TRAIN candidates in the
+race at value -1 (``main.py:169-171`` ``index_fill``), which is reachable
+for cosine*scale logits — when a whole level scores below -1 the predicted
+node leaves the level (a guaranteed metric miss). ``level_argmax_xla``
+reproduces this with a two-tier mask; ``level_argmax_sorted`` (whose slices
+cannot leave the level) returns each slot's max VALUE so the consumer can
+apply the equivalent condition (see ``eval/metrics.metrics_from_preds``).
 """
 
 from __future__ import annotations
@@ -30,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 NEG = -1e9
+FILL = -1.0  # the reference's index_fill value (main.py:169-171)
 
 
 def level_argmax_xla(
@@ -41,8 +50,12 @@ def level_argmax_xla(
     """Reference implementation -> preds [L, B] int32."""
 
     def one(carry, lev):
-        mask = jnp.where(lev < 0, train_mask, (node_depth == lev) & train_mask)
-        masked = jnp.where(mask[None, :], logits, NEG)
+        in_level = jnp.where(lev < 0, True, node_depth == lev)
+        masked = jnp.where(
+            train_mask[None, :],
+            jnp.where(in_level[None, :], logits, FILL),
+            NEG,
+        )
         return carry, jnp.argmax(masked, axis=1).astype(jnp.int32)
 
     _, preds = jax.lax.scan(one, None, levels)
@@ -60,20 +73,29 @@ def level_argmax_sorted(
     (instead of once per level), with no masking at all. The TOR slot (last
     row) is the train-masked argmax over everything.
 
-    Returns preds [n_levels + 1, B] as SORTED-space indices; map back to
-    global node ids via the permutation.
+    Returns ``(preds, vals)``, each [n_levels + 1, B]: SORTED-space argmax
+    index per slot (map to global ids via the permutation) and the slot's
+    max masked value — the consumer needs the value to apply the
+    reference's fill rule (a level whose best candidate scores below
+    ``FILL`` loses to an out-of-level node, see module docstring).
     """
     B = logits_sorted.shape[0]
     outs = []
+    vals = []
     for d in range(len(level_offsets) - 1):
         lo, hi = level_offsets[d], level_offsets[d + 1]
         if hi - lo == 0:
             outs.append(jnp.zeros((B,), jnp.int32))
+            vals.append(jnp.full((B,), NEG, logits_sorted.dtype))
             continue
         sl = logits_sorted[:, lo:hi]
         m = train_mask_sorted[lo:hi]
         sl = jnp.where(m[None, :], sl, NEG)
-        outs.append((jnp.argmax(sl, axis=1) + lo).astype(jnp.int32))
+        a = jnp.argmax(sl, axis=1)
+        outs.append((a + lo).astype(jnp.int32))
+        vals.append(jnp.take_along_axis(sl, a[:, None], axis=1)[:, 0])
     full = jnp.where(train_mask_sorted[None, :], logits_sorted, NEG)
-    outs.append(jnp.argmax(full, axis=1).astype(jnp.int32))
-    return jnp.stack(outs)
+    a = jnp.argmax(full, axis=1)
+    outs.append(a.astype(jnp.int32))
+    vals.append(jnp.take_along_axis(full, a[:, None], axis=1)[:, 0])
+    return jnp.stack(outs), jnp.stack(vals)

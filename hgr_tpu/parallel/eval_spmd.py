@@ -31,7 +31,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..eval.bank import bank_logits
-from ..eval.metrics import NEG, TOPK, BatchMetrics
+from ..eval.metrics import FILL, NEG, TOPK, BatchMetrics
 from .mesh import DATA, MODEL
 
 
@@ -83,10 +83,20 @@ def make_sharded_eval_step(tm, mesh: Mesh, topk: Sequence[int] = TOPK) -> Callab
         csum = jnp.cumsum(correct, axis=1)
         hits = csum[:, jnp.asarray(ks)].sum(axis=0).astype(jnp.float32)
 
-        # per-level argmax + TOR slot (local masked argmax, then merge)
+        # per-level argmax + TOR slot (local masked argmax, then merge).
+        # Out-of-level TRAIN candidates stay in the race at FILL — the
+        # reference's index_fill(-1) semantics (main.py:169-171): when a
+        # whole level scores below -1 the winner leaves the level (metric
+        # miss). Cross-shard first-max tie-breaking over equal FILL values
+        # still matches single-device order because shards hold contiguous
+        # sorted-id ranges and the merge picks the lowest shard.
         def one_level(carry, lev):
-            m = ((depth_loc == lev) | (lev < 0)) & train_loc
-            vals = jnp.where(m[None, :], logits, NEG)
+            in_level = (depth_loc == lev) | (lev < 0)
+            vals = jnp.where(
+                train_loc[None, :],
+                jnp.where(in_level[None, :], logits, FILL),
+                NEG,
+            )
             a = jnp.argmax(vals, axis=1)
             v = jnp.take_along_axis(vals, a[:, None], axis=1)[:, 0]
             return carry, (v, a + base)

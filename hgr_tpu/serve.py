@@ -76,7 +76,11 @@ class ZeroShotClassifier:
         def fn(params, bank_sorted, images):
             feats = self.tm.encode_image_fn(params, images)
             logits = bank_logits(feats, bank_sorted)
-            preds_s = level_argmax_sorted(logits, offsets, train_s)
+            # serving returns the best IN-LEVEL node per level; the metric
+            # engines additionally apply the reference's -1 fill rule
+            # (eval/metrics.FILL), which only converts matches to misses —
+            # it never produces a better node to show a user
+            preds_s, _vals = level_argmax_sorted(logits, offsets, train_s)
             return order[preds_s][:-1].T  # [B, n_levels], drop the TOR slot
 
         return jax.jit(fn)

@@ -346,19 +346,31 @@ class TreeModel:
         from .ops.bank_topk import level_argmax_sorted
 
         order = jnp.asarray(self.depth_order)
-        train_s = jnp.asarray(self.train_mask[self.depth_order])
+        train_np = self.train_mask[self.depth_order]
+        train_s = jnp.asarray(train_np)
         test_s = jnp.asarray(self.test_mask[self.depth_order])
         offsets = self.level_offsets
+        # per level: does a train node OUTSIDE the level exist? (the
+        # reference's -1 fill competitor, main.py:169-171); TOR slot False
+        total_train = int(train_np.sum())
+        fill_outside = jnp.asarray(
+            [
+                total_train - int(train_np[offsets[d]: offsets[d + 1]].sum()) > 0
+                for d in range(len(offsets) - 1)
+            ]
+            + [False]
+        )
 
         def fn(params, bank_sorted, images, target, chain, chain_len,
                chain_levels, valid):
             feats = self.encode_image_fn(params, images)
             logits_s = bank_logits(feats, bank_sorted)
-            preds_s = level_argmax_sorted(logits_s, offsets, train_s)
+            preds_s, vals = level_argmax_sorted(logits_s, offsets, train_s)
             preds_global = order[preds_s]
             return metrics_from_preds(
                 preds_global, logits_s, order, target, chain, chain_len,
                 chain_levels, test_s, valid=valid,
+                lvl_vals=vals, fill_outside=fill_outside,
             )
 
         return jax.jit(fn)

@@ -38,12 +38,15 @@ def _setup(B=16, N=512, n_depths=5, seed=0):
 
 
 def test_level_argmax_sorted_matches_xla():
+    # std-normal logits over ~56-node levels: the probability that a whole
+    # level scores below the reference's -1 fill is ~0, so the xla path's
+    # out-of-level fill branch never fires and raw preds must agree
     logits, depth, train, levels = _setup(N=300, n_depths=4)
     order = np.argsort(depth, kind="stable")
     offsets = [0]
     for d in range(4):
         offsets.append(offsets[-1] + int((depth == d).sum()))
-    preds_s = level_argmax_sorted(
+    preds_s, vals = level_argmax_sorted(
         jnp.asarray(logits[:, order]), tuple(offsets),
         jnp.asarray(train[order]),
     )
@@ -53,6 +56,36 @@ def test_level_argmax_sorted_matches_xla():
         jnp.asarray(train),
     )
     np.testing.assert_array_equal(preds_global, np.asarray(want))
+
+
+def test_level_argmax_fill_semantics():
+    """When every train candidate of a level scores below the reference's
+    -1 fill (main.py:169-171), the xla path predicts an out-of-level node
+    and the sorted path reports a slot max <= FILL — the signal the metric
+    layer uses to count the slot as a miss."""
+    from hgr_tpu.ops.bank_topk import FILL
+
+    logits, depth, train, levels = _setup(N=300, n_depths=4)
+    sunk = depth == 2
+    logits[:, sunk] = -2.0  # entire level below the fill value
+
+    want = np.asarray(level_argmax_xla(
+        jnp.asarray(logits), jnp.asarray(levels), jnp.asarray(depth),
+        jnp.asarray(train),
+    ))
+    lvl2 = int(np.where(levels == 2)[0][0])
+    assert (depth[want[lvl2]] != 2).all(), "xla path should leave the level"
+
+    order = np.argsort(depth, kind="stable")
+    offsets = [0]
+    for d in range(4):
+        offsets.append(offsets[-1] + int((depth == d).sum()))
+    _preds, vals = level_argmax_sorted(
+        jnp.asarray(logits[:, order]), tuple(offsets),
+        jnp.asarray(train[order]),
+    )
+    assert (np.asarray(vals)[2] <= FILL).all()
+    assert (np.asarray(vals)[1] > FILL).all()
 
 
 def test_sorted_eval_step_matches_unsorted(tiny_hierarchy):
