@@ -186,3 +186,89 @@ def test_om_loss_and_grads_match_executed_reference(weights):
         g_lw = np.asarray(grads["layer_weight"])
         want = t_grad(self_ns.layer_weight)
         np.testing.assert_allclose(g_lw, want, rtol=2e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("weights", ["equal", "increasing", "adaptive"])
+def test_hierarchical_loss_and_grads_match_executed_reference(weights):
+    """Same executed-reference oracle for the 'hierarchical' method
+    (``model/clip_tree.py:283-316``): one pair per chain position, label
+    always the TARGET's slot, per-position get_weights factor."""
+    fns, torch = _extract_methods("train_batch", "get_weights")
+    ref, cfg = _tiny_torch_clip(torch)
+    hier = synthetic_hierarchy(branching=3, levels=4, extra_edges=5, seed=0)
+    n = hier.num_nodes
+    tokens = synthetic_tokens(n, cfg.context_length, cfg.vocab_size, seed=0)
+
+    num_compare = 6
+    target = int(hier.level(hier.max_depth)[0])
+    sampler = _RecordingSampler(hier, np.arange(n), num_compare, seed=0)
+    builder = ScheduleBuilder(
+        hier, sampler, 0.5, 0.5, num_compare, method="hierarchical"
+    )
+    sched_host = builder.build(target)
+
+    lw_init = (1.0 / hier.level_sizes.astype(np.float32)) * 1.0
+    replay = iter(list(sampler.calls))
+
+    def get_contra(method, target, batch_size, depth=None, parents=None):
+        ids, lab, want_t, want_d = next(replay)
+        assert int(target) == want_t and int(depth) == want_d
+        return (
+            torch.tensor(ids, dtype=torch.long),
+            torch.tensor([lab] * batch_size, dtype=torch.long),
+        )
+
+    self_ns = types.SimpleNamespace(
+        clip_model=ref,
+        c2p={i: hier.chain(i) for i in range(n)},
+        opts=types.SimpleNamespace(
+            out_ratio=0.5, in_ratio=0.5, weights=weights, weighting="both",
+            sample_strategy="topk",
+        ),
+        loss=torch.nn.CrossEntropyLoss(),
+        device="cpu",
+        node_tokens=torch.tensor(tokens, dtype=torch.long),
+        get_contra=get_contra,
+        layer_weight=torch.nn.Parameter(torch.tensor(lw_init)),
+    )
+    self_ns.get_weights = types.MethodType(fns["get_weights"], self_ns)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(
+        (2, cfg.image_resolution, cfg.image_resolution, 3)
+    ).astype(np.float32)
+    inputs = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    targets = torch.tensor([target, target], dtype=torch.long)
+    ref.zero_grad(set_to_none=True)
+    ref_loss = fns["train_batch"](self_ns, inputs, targets, "hierarchical", "topk")
+    assert next(replay, None) is None
+
+    params = {
+        "clip": convert_state_dict(ref.state_dict(), cfg),
+        "layer_weight": jnp.asarray(lw_init),
+    }
+    loss_fn = make_om_loss_fn(cfg, jnp.float32, "hierarchical", weights, "both")
+    jax_loss, grads = jax.value_and_grad(loss_fn)(
+        params, jnp.asarray(x), jnp.asarray(tokens), sched_to_device(sched_host)
+    )
+    np.testing.assert_allclose(float(jax_loss), float(ref_loss), rtol=2e-4)
+
+    def t_grad(p):
+        assert p.grad is not None
+        return p.grad.detach().numpy()
+
+    g_conv = np.asarray(grads["clip"]["visual"]["conv1"]["w"]).transpose(3, 2, 0, 1)
+    want = t_grad(ref.visual.conv1.weight)
+    np.testing.assert_allclose(
+        g_conv, want, rtol=2e-3, atol=2e-4 * max(1.0, np.abs(want).max())
+    )
+    g_emb = np.asarray(grads["clip"]["text"]["token_embedding"])
+    want = t_grad(ref.token_embedding.weight)
+    np.testing.assert_allclose(
+        g_emb, want, rtol=2e-3, atol=2e-4 * max(1.0, np.abs(want).max())
+    )
+    if weights == "adaptive":
+        np.testing.assert_allclose(
+            np.asarray(grads["layer_weight"]), t_grad(self_ns.layer_weight),
+            rtol=2e-3, atol=1e-6,
+        )
