@@ -46,3 +46,56 @@ def test_sharded_eval_matches_single_device(mesh_shape):
                     np.asarray(a), np.asarray(b), atol=1e-5,
                     err_msg=f"target={target} mesh={mesh_shape}",
                 )
+
+
+def test_sharded_eval_fill_case_matches_single_device():
+    """The reference's -1 fill rule (eval/metrics.FILL) under sharding: a
+    whole level is pushed below the fill value, so the per-level prediction
+    must leave the level (a miss) IDENTICALLY on the scan path, the sorted
+    fast path, and the explicit-collective sharded path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hgr_tpu.models.layers import l2_normalize
+
+    mesh = make_mesh(data=2, model=4)
+    hier = synthetic_hierarchy(3, 4, 5, 0)
+    cfg = Config(arch="TEST-RN", dtype="float32")
+    tm = TreeModel.build(cfg, hier, pad_multiple=8 * 4)
+    tm.init_params(0)
+
+    # identical images -> identical features: bank rows set to -2*feat give
+    # every image logit exactly -2 (< FILL) on the chosen level
+    img = np.random.default_rng(1).standard_normal((1, 32, 32, 3))
+    imgs = jnp.asarray(np.repeat(img, 8, axis=0), jnp.float32)
+    feat = np.asarray(l2_normalize(
+        tm.encode_image_fn(tm.params, imgs[:1])
+    ))[0]
+
+    bank_s = np.array(tm.sort_bank(tm.update_classifier()), np.float32)
+    lo, hi = tm.level_offsets[1], tm.level_offsets[2]
+    bank_s[lo:hi] = -2.0 * feat
+    bank_s = jnp.asarray(bank_s)
+
+    target = int(hier.level(hier.max_depth)[0])
+    chain = hier.chain_with_self(target)
+    assert len(chain) >= 3  # the sunk level is an interior chain slot
+
+    single = tm.eval_step_sorted(tm.params, bank_s, imgs, target)
+    # scan path (unsorted) must agree: un-sort the bank back to id order
+    inv = np.argsort(tm.depth_order)
+    scan = tm.eval_step(tm.params, jnp.asarray(np.asarray(bank_s)[inv]),
+                        imgs, target)
+    for a, b in zip(single, scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    bank_sh = jax.device_put(bank_s, NamedSharding(mesh, P(MODEL, None)))
+    params_r = jax.device_put(tm.params, NamedSharding(mesh, P()))
+    step = make_sharded_eval_step(tm, mesh)
+    sharded = step(params_r, bank_sh, jax.device_put(
+        imgs, NamedSharding(mesh, P("data"))), target)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # and the sunk level really is a miss: point overlap strictly below a
+    # full-chain match for every row
+    assert float(single.point) < 8 * (1.0 - 1.0 / len(chain)) + 1e-6
