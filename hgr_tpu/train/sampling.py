@@ -29,7 +29,10 @@ Sampling strategies (reference semantics, same names):
 - ``topk``     classes within the k-layer window BELOW the anchor depth,
                minus ancestors (``:116-141``) — the paper default
 - ``near_simi`` k-layer window both sides, ranked by text similarity
-               (``:144-178``)
+               (``:144-178``; also dead as written upstream — the [1, M]
+               argsort is sliced on the wrong axis and the ragged id list
+               crashes ``torch.tensor``, ``:170-176``; rebuilt, crash
+               pinned in tests/test_sampling_oracle.py)
 - ``brothers`` siblings via the parent's child list, root level uses the
                root's children (``:180-196``)
 
