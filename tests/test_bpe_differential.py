@@ -79,3 +79,36 @@ def test_differential_fuzz(pair):
         n = rng.randint(0, 40)
         text = "".join(rng.choice(alphabet) for _ in range(n))
         assert ours.encode(text) == ref.encode(text), repr(text)
+
+
+def test_tokenize_assembly_matches_reference(pair):
+    """Full tokenize() contract (SOT/EOT, zero pad, truncate-with-EOT) —
+    the reference assembly lives in clip/clip.py:188-224; its tokenizer ids
+    come from the shared fixture."""
+    ref, ours = pair
+    sot = ref.encoder["<|startoftext|>"]
+    eot = ref.encoder["<|endoftext|>"]
+
+    def ref_tokenize(texts, context_length=77, truncate=False):
+        import numpy as np
+
+        out = np.zeros((len(texts), context_length), dtype=np.int32)
+        for i, t in enumerate(texts):
+            ids = [sot] + ref.encode(t) + [eot]
+            if len(ids) > context_length:
+                if not truncate:
+                    raise RuntimeError(t)
+                ids = ids[:context_length]
+                ids[-1] = eot
+            out[i, : len(ids)] = ids
+        return out
+
+    import numpy as np
+
+    texts = ["a photo of a dog.", "x" * 300, "short", ""]
+    got = ours.tokenize(texts, context_length=77, truncate=True)
+    want = ref_tokenize(texts, truncate=True)
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(RuntimeError):
+        ours.tokenize(["y" * 300], context_length=20, truncate=False)
