@@ -144,3 +144,22 @@ def logits_with_bias_column(features: np.ndarray, pred_vectors: np.ndarray):
     ones = jnp.ones((f.shape[0], 1), f.dtype)
     fb = jnp.concatenate([f, ones], axis=1)
     return fb @ jnp.asarray(pred_vectors).T
+
+
+def suppress_seen(table, seen, value: float = 1e-7):
+    """The DGP ZSL protocol's seen-class suppression: seen-class columns are
+    set to ``value`` — NOT removed (``evaluate_21kp.py:93-95``,
+    ``evaluate_imagenet.py`` same; there "seen" is the first-n column block,
+    here ``seen`` is an int n or a [N] bool mask since our node order
+    interleaves). 1e-7 is a reachable value for fc logits, so a seen class
+    can still out-score the unseen set when every unseen logit is negative —
+    faithful semantics, the same family of quirk as the eval engine's
+    ``metrics.FILL``."""
+    import jax.numpy as jnp
+
+    t = jnp.asarray(table)
+    if np.ndim(seen) == 0:
+        seen = jnp.arange(t.shape[1]) < int(seen)
+    else:
+        seen = jnp.asarray(seen, bool)
+    return jnp.where(seen[None, :], jnp.asarray(value, t.dtype), t)

@@ -378,6 +378,10 @@ def main(argv=None):
     ap.add_argument("--tr_concat", action="store_true", help=(
         "apply the reference's Tr preprocessing cat((f,f,ones)) + normalize "
         "(train_gcn_dense_trans.py:70-77)"))
+    ap.add_argument("--consider_trains", type=lambda s: s.lower() == "true",
+                    default=True, help=(
+                        "False = the DGP scripts' ZSL protocol: suppress "
+                        "seen-class logits to 1e-7 (materials.suppress_seen)"))
     ap.add_argument("--feat_dim", type=int, default=64)
     ap.add_argument("--attr_dim", type=int, default=32)
     ap.add_argument("--hid_dim", type=int, default=128)
@@ -446,6 +450,19 @@ def main(argv=None):
         attrs = tr_word_vectors(attrs)
     runner = {"cnzsl": run_cnzsl, "gcn": run_gcn, "free": run_free}[args.baseline]
     logit_fn = runner(args, hier, splits, attrs, protos)
+    if not args.consider_trains:
+        # the DGP scripts' ZSL protocol (their default): seen-class columns
+        # suppressed to a REACHABLE 1e-7, not excluded (evaluate_21kp.py:
+        # 93-95) — affects every metric downstream, so wrap the logit fn
+        from .materials import suppress_seen
+
+        seen_mask = np.zeros(hier.num_nodes, bool)
+        seen_mask[hier.ids(splits["train"])] = True
+        base_fn = logit_fn
+
+        def logit_fn(feats):  # noqa: F811 — deliberate wrap
+            return suppress_seen(base_fn(feats), seen_mask)
+
     summary = evaluate_logit_model(
         logit_fn, hier, splits, protos, args.noise, args.eval_batch,
         args.eval_batches_per_class, args.seed,

@@ -237,3 +237,25 @@ def test_resnet50_features_shape():
     )
     f = resnet50_features(p, x, dtype=jnp.float32)
     assert f.shape == (2, 2048)
+
+
+def test_suppress_seen_keeps_seen_in_the_race():
+    """DGP ZSL suppression sets seen columns to 1e-7 rather than removing
+    them (evaluate_21kp.py:93-95): when every unseen logit is negative, a
+    SEEN class still wins — faithful quirk, not an exclusion."""
+    import numpy as np
+
+    from hgr_tpu.baselines.materials import suppress_seen
+
+    table = np.asarray([[5.0, 3.0, -0.2, -0.4],
+                        [5.0, 3.0, 0.2, -0.4]], np.float32)
+    out = np.asarray(suppress_seen(table, 2))
+    np.testing.assert_allclose(out[:, :2], 1e-7)
+    assert out[0].argmax() < 2      # all unseen negative -> a seen col wins
+    assert out[1].argmax() == 2     # a positive unseen logit wins normally
+
+    # mask form (our node order interleaves seen/unseen)
+    mask = np.asarray([True, False, True, False])
+    out2 = np.asarray(suppress_seen(table, mask))
+    np.testing.assert_allclose(out2[:, [0, 2]], 1e-7)
+    np.testing.assert_allclose(out2[:, 1], table[:, 1])
