@@ -198,3 +198,35 @@ def test_simi_strategy_refreshes_bank_per_epoch(tmp_path, monkeypatch):
     ]
     perf = [l for l in lines if l.get("event") == "epoch_perf"]
     assert len(perf) == 2  # both epochs completed through the simi branch
+
+
+def test_coop_cli_train_checkpoint_eval_roundtrip(tmp_path, monkeypatch):
+    """--coop through the full CLI: train (prompt-learner ctx in the
+    optimizer), checkpoint (ctx travels in the params pytree), reload for
+    test-only eval (driver.py:91-92 restores tm.coop_ctx) — the working
+    version of the reference's dead CoOp OM path (clip_coop.py:187-189)."""
+    monkeypatch.chdir(tmp_path)
+    from hgr_tpu.driver import main
+
+    folder = str(tmp_path / "runs")
+    common = [
+        "--synthetic", "True", "--arch", "TEST-RN", "--dtype", "float32",
+        "--folder", folder, "--coop", "True", "--coop_train", "both",
+        "--n_ctx", "2", "--num_compare", "4", "--test_batch_size", "8",
+        "--mesh_data", "1",
+    ]
+    main(common + [
+        "--epochs", "1", "--batch_size", "2", "--n_episodes", "2",
+        "--lr", "1e-3", "--test_after_train", "False",
+    ])
+    save_path = os.path.join(folder, "HGR", "adaptive_0.25_0.5")
+    assert os.path.isdir(os.path.join(save_path, "clip_0"))
+
+    main(common + ["--train", "False", "--load", "True", "--from_epoch", "0",
+                   "--max_test_batches", "2"])
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(save_path, "metrics.jsonl"))
+    ]
+    finals = [l for l in lines if l.get("event") == "eval" and l.get("tag") == "final"]
+    assert finals and finals[-1]["num_samples"] > 0
