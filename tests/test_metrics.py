@@ -147,3 +147,41 @@ def test_accumulate_and_summarize(setup):
     # hit@k must be monotone in k
     vals = [s[f"hit@{k}"] for k in TOPK]
     assert vals == sorted(vals)
+
+
+def test_batch_metrics_fill_case_matches_oracle(setup):
+    """Force the reference's index_fill(-1) branch (main.py:169-171), which
+    uniform(-1, 1) logits can never trigger: an entire level sinks below the
+    fill value, so the per-level prediction must leave the level (the
+    oracle above models this faithfully; the implementation regressed from
+    it once — caught by the executed-reference oracle — so keep an explicit
+    trigger here too)."""
+    h, train_index, test_index, train_mask, test_mask, rng = setup
+    n = h.num_nodes
+    B = 5
+    target = int(h.level(h.max_depth)[0])
+    chain_list = h.chain_with_self(target)
+    assert len(chain_list) >= 3
+
+    logits = rng.uniform(-1, 1, size=(B, n)).astype(np.float32)
+    sunk_level = int(h.depth[chain_list[1]])
+    sunk = [i for i in range(n) if int(h.depth[i]) == sunk_level]
+    logits[:, sunk] = -2.0
+    logits[:, chain_list[1]] = -1.5  # gt is the best of the sunk level
+
+    ref = oracle_batch(logits, target, h, train_index, test_index)
+    Lmax = h.max_chain + 1
+    chain = np.full(Lmax, -1, np.int32)
+    chain[: len(chain_list)] = chain_list
+    got = batch_metrics(
+        jnp.asarray(logits),
+        jnp.asarray(target),
+        jnp.asarray(chain),
+        jnp.asarray(len(chain_list), jnp.int32),
+        jnp.asarray(h.depth.astype(np.int32)),
+        jnp.asarray(train_mask),
+        jnp.asarray(test_mask),
+    )
+    np.testing.assert_allclose(float(got.tor), ref["tor"], atol=1e-5)
+    np.testing.assert_allclose(float(got.path), ref["path"], atol=1e-5)
+    np.testing.assert_allclose(float(got.point), ref["point"], atol=1e-5)
