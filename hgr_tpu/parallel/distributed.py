@@ -35,12 +35,21 @@ def init_distributed(
         or os.environ.get("COORDINATOR_ADDRESS")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     )
-    if want_multi and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if want_multi:
+        # NB: do NOT probe jax.process_count() first — it initializes the
+        # XLA backend, after which jax.distributed.initialize refuses to
+        # run (caught by tests/test_multihost.py, which spawns a real
+        # 2-process cluster). Instead attempt and tolerate the one benign
+        # failure mode: having initialized already.
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 
