@@ -314,8 +314,8 @@ def _run_with_watchdog() -> None:
     # timeouts + a retry of the headline are the whole defense, and partial
     # results are expected, not exceptional.
     out: dict = {}
-    plans = [(["eval"], 250), (["train"], 180), (["pipeline"], 130),
-             (["vit"], 110)]
+    plans = [(["eval"], 250), (["train"], 180), (["vit"], 130),
+             (["pipeline"], 130)]
     for names, t in plans:
         if left() < 45:
             print(f"# skipping {names}: budget exhausted", flush=True)
