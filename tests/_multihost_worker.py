@@ -83,6 +83,25 @@ def main() -> None:
     fingerprint = float(jnp.sum(jnp.abs(lw)))
     print(f"RESULT {pid} loss={float(loss):.6f} lw={fingerprint:.6f}", flush=True)
 
+    # ---- sharded zero-shot eval across the 2-host mesh --------------------
+    # (explicit-collective path; the parent compares these numbers against a
+    # single-process single-device eval with the same seeds)
+    from hgr_tpu.parallel.eval_spmd import make_sharded_eval_step
+
+    bank_s = tm.sort_bank(tm.update_classifier())
+    bank_sh = jax.device_put(bank_s, NamedSharding(mesh, P("model", None)))
+    params_r = jax.device_put(tm.params, NamedSharding(mesh, P()))
+    eval_imgs_global = rng.standard_normal((4, res, res, 3)).astype(np.float32)
+    eval_imgs = jax.make_array_from_process_local_data(
+        sharding, eval_imgs_global[host_local_batch_slice(4)]
+    )
+    estep = make_sharded_eval_step(tm, mesh)
+    m = estep(params_r, bank_sh, eval_imgs, targets[0])
+    vals = [float(x) for x in np.asarray(m.hits)] + [
+        float(m.tor), float(m.path), float(m.point), float(m.num)
+    ]
+    print(f"EVAL {pid} " + " ".join(f"{v:.5f}" for v in vals), flush=True)
+
 
 if __name__ == "__main__":
     main()
