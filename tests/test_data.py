@@ -141,3 +141,34 @@ def test_corrupt_image_fallback(tmp_path):
     out_good = src.load("c", paths, 0)
     out_bad = src.load("c", paths, 1)  # falls back to paths[0]
     np.testing.assert_allclose(out_bad, out_good)
+
+
+def test_prefetcher_order_and_error_propagation():
+    """Prefetcher must preserve stream order under backpressure and re-raise
+    producer-thread exceptions in the consumer — a silently truncated
+    stream would look like a clean shorter epoch."""
+    import time
+
+    from hgr_tpu.data import Prefetcher
+
+    def gen():
+        for i in range(20):
+            yield i
+
+    slow = []
+    for x in Prefetcher(gen, depth=2):
+        slow.append(x)
+        time.sleep(0.001)  # consumer slower than producer -> queue fills
+    assert slow == list(range(20))
+
+    def bad():
+        yield 1
+        yield 2
+        raise ValueError("decode exploded")
+
+    it = iter(Prefetcher(bad, depth=2))
+    assert next(it) == 1 and next(it) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="producer thread failed"):
+        next(it)
