@@ -10,9 +10,11 @@ Hit@k and hierarchical TOR/POR/path metrics, designed TPU-first:
 - one 2-D device mesh ``(data, model)``; the class-embedding bank and the
   [B, 18278] logit matmul shard over ``model``, images over ``data``
 - static shapes + padding/masking everywhere so XLA tiles onto the MXU
-- Pallas kernels for the hot ops (fused attention, bank gather-reduce)
+- kernel choices settled by on-chip measurement: depth-sorted one-pass
+  level argmax in the eval hot path; Pallas fused attention kept opt-in
+  (XLA wins at CLIP sequence lengths — docs/SCALING.md "Negative results")
 - bf16 compute with fp32 master params and optimizer state (replacing the
-  reference's manual fp16<->fp16 swap dance, reference utils.py:98-123)
+  reference's manual fp16<->fp32 swap dance, reference utils.py:98-123)
 
 Top-level API::
 
