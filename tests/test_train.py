@@ -296,3 +296,37 @@ def test_train_step_runs_and_updates(hier):
     assert all(np.isfinite(losses))
     assert int(state.step) == 3
     assert not np.allclose(np.asarray(state.params["layer_weight"]), lw0)
+
+
+def test_cosine_lr_matches_executed_reference():
+    """Execute the reference's cosine_lr closure (utils.py:82-95) against a
+    fake single-group optimizer and compare every step's lr."""
+    import ast
+    import os
+
+    ref_path = "/root/reference/utils.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+    tree = ast.parse(open(ref_path).read())
+    fns = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+           and n.name in ("cosine_lr", "_warmup_lr", "assign_learning_rate")]
+    assert len(fns) == 3
+    ns = {"np": np}
+    exec(compile(ast.Module(body=fns, type_ignores=[]), ref_path, "exec"), ns)
+
+    from hgr_tpu.train.schedule import cosine_lr as ours
+
+    for base, warmup, steps in [(3e-7, 5, 40), (1e-3, 0, 12), (2e-4, 10, 10)]:
+        group = {"lr": None}
+        opt = type("O", (), {"param_groups": [group]})()
+        adjust = ns["cosine_lr"](opt, base, warmup, steps)
+        sched = ours(base, warmup, steps)
+        for step in range(steps):
+            adjust(step)
+            # ours computes the cosine in fp32 (device schedule), the
+            # reference in float64 numpy: allow fp32 noise, absolute near
+            # the decay tail where lr -> 0
+            np.testing.assert_allclose(
+                float(sched(step)), group["lr"], rtol=1e-4, atol=base * 1e-6,
+                err_msg=f"base={base} warmup={warmup} steps={steps} step={step}",
+            )
