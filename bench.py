@@ -314,24 +314,26 @@ def _run_with_watchdog() -> None:
     # timeouts + a retry of the headline are the whole defense, and partial
     # results are expected, not exceptional.
     out: dict = {}
-    plans = [(["eval"], 250), (["train"], 180), (["vit"], 130),
-             (["pipeline"], 130)]
+    plans = [(["eval"], 170), (["train"], 170), (["vit"], 120),
+             (["pipeline"], 120)]
     for names, t in plans:
         if left() < 45:
             print(f"# skipping {names}: budget exhausted", flush=True)
             continue
-        if names == ["eval"] and "eval_imgs_per_sec" in out:
-            continue
-        res, note = _child(names, min(t, max(left() - 10, 30)))
-        if res is None:
-            print(f"# section {names} failed ({note})", flush=True)
-            if names == ["eval"] and left() > 140:
-                res, note = _child(names, min(250, left() - 10))
-                if res is None:
-                    print(f"# section {names} retry failed ({note})",
-                          flush=True)
-        if res is not None:
-            out.update(res)
+        # every section gets one retry when budget allows: a timed-out
+        # first attempt usually leaves the remote-compile result cached
+        # server-side, so the retry compiles near-instantly (observed
+        # repeatedly: attempt 1 times out at 250s, attempt 2 lands fast)
+        for attempt in range(2):
+            res, note = _child(names, min(t + 80 * attempt,
+                                          max(left() - 10, 30)))
+            if res is not None:
+                out.update(res)
+                break
+            print(f"# section {names} attempt {attempt + 1} failed ({note})",
+                  flush=True)
+            if left() < 100:
+                break
 
     # degraded-tunnel gate: in bad phases the per-call dispatch overhead
     # slows the MEASUREMENT ~16x (observed: 502 imgs/s vs the stable ~8.4k)
