@@ -418,6 +418,26 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
     from .utils.profiling import TraceWindow
 
     tracer = TraceWindow(config.trace_dir)
+    try:
+        state = _epoch_loop(
+            config, tm, splits, logger, tracer, state, step_fn, spmd_step,
+            sampler, builder, loader, node_tokens, _prefetch_steps,
+            steps_per_epoch, num_batches,
+        )
+    finally:
+        tracer.close()
+    return state
+
+
+def _epoch_loop(config, tm, splits, logger, tracer, state, step_fn, spmd_step,
+                sampler, builder, loader, node_tokens, _prefetch_steps,
+                steps_per_epoch, num_batches):
+    import jax.numpy as jnp
+
+    from .data import Prefetcher
+    from .train import sched_to_device
+    from .utils.checkpoint import save_checkpoint
+
     for epoch in range(config.from_epoch + 1, config.epochs):
         epoch_t0 = time.time()
         if config.sample_strategy in ("simi", "near_simi"):
@@ -444,7 +464,10 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
             tracer.after(i, loss)
             if i % config.print_freq == 0:
                 logger.log_train(epoch, i, steps_per_epoch, float(loss))
-        jax.block_until_ready(state.params["layer_weight"])
+        # drain the device queue by FETCHING a scalar — block_until_ready
+        # does not reliably sync through the axon TPU tunnel (CLAUDE.md),
+        # so epoch timing would over-report without this materialization
+        np.asarray(jnp.sum(state.params["layer_weight"]))
         epoch_dt = time.time() - epoch_t0
         logger.log_jsonl({
             "event": "epoch_perf",

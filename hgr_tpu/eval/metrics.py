@@ -184,6 +184,13 @@ def metrics_from_preds(
     """Metrics on the depth-sorted fast path (see ops/bank_topk.py
     ``level_argmax_sorted``): identical results to :func:`batch_metrics`,
     one pass over the logits for all level argmaxes instead of one per level.
+
+    Exact-tie boundary: ``beats_fill`` uses a strict ``> FILL`` test, so a
+    level whose best train candidate scores EXACTLY -1.0 is forced to a miss,
+    whereas the reference/XLA argmax tie-break (lowest index among the tied
+    -1 values, ``main.py:171-176``) could still pick the in-level node. For
+    float cosine*scale logits an exact -1.0 is measure-zero and unreachable
+    in practice; the batch_metrics-equality contract holds everywhere else.
     """
     maxk = max(topk)
     masked = jnp.where(test_mask_sorted[None, :], logits_sorted, NEG)

@@ -17,9 +17,12 @@ host round-trips:
 Ordering parity: the reference's node ordering is networkx insertion order over
 the edge list with the virtual root removed (``utils.py:44-46``); we reproduce
 that exactly. The reference's canonical ancestor chain is "a shortest path from
-the root chosen by networkx" (``utils.py:55``); for multi-parent nodes we pick
-the BFS-first shortest path with successors visited in edge-insertion order,
-which is deterministic and satisfies the same parent-linkage invariant the
+the root chosen by networkx" (``utils.py:55``); we call networkx
+``shortest_path`` itself when available (``_nx_chains``) because its
+bidirectional-BFS tie-breaks differ from a forward BFS on some multi-parent
+DAGs — a divergence the executed-reference oracle caught (docs/PARITY.md
+tier-1 table). The forward edge-insertion-order BFS remains only as the
+networkx-unavailable fallback; both satisfy the parent-linkage invariant the
 reference asserts (``utils.py:58-64``).
 """
 

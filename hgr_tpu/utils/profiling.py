@@ -81,7 +81,11 @@ class TraceWindow:
         self._done = False
 
     def before(self, i: int) -> None:
-        if self.log_dir and not self._done and i == self.start:
+        # the ``not self._active`` guard matters when an epoch ends before
+        # step ``stop``: without it the next epoch's step ``start`` would
+        # start a second trace while one is still running, which raises.
+        if (self.log_dir and not self._done and not self._active
+                and i == self.start):
             jax.profiler.start_trace(self.log_dir)
             self._active = True
 
@@ -89,6 +93,14 @@ class TraceWindow:
         if self._active and i >= self.stop:
             if result is not None:
                 jax.block_until_ready(result)
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+
+    def close(self) -> None:
+        """Stop a still-active trace (run ended mid-window). Call from a
+        ``finally`` around the epoch loop so short runs still write a trace."""
+        if self._active:
             jax.profiler.stop_trace()
             self._active = False
             self._done = True

@@ -23,6 +23,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's big compiles (SPMD steps, the
+# convergence proofs, full-shape parity) dominate wall time; caching them
+# across runs cuts repeat-suite time sharply. min_compile_time 1s keeps the
+# thousands of trivial CPU compiles out of the cache.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

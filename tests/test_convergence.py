@@ -126,6 +126,7 @@ def test_om_training_aligns_images_to_class_prompts(tiny_hierarchy):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_coop_training_gradients_reach_ctx_and_align(tiny_hierarchy):
     """Same learning proof through the CoOp prompt-learner path
     (``--coop --coop_train both``): retrieval must rise above chance AND the

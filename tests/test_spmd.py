@@ -28,7 +28,16 @@ from hgr_tpu.train.spmd import make_spmd_train_step, stack_schedules  # noqa: E4
 from hgr_tpu.tree_model import TreeModel  # noqa: E402
 
 
-@pytest.mark.parametrize("data,model", [(2, 4), (4, 2), (8, 1)])
+@pytest.mark.parametrize(
+    "data,model",
+    [
+        # one mesh shape stays in the default tier to keep SPMD coverage
+        # cheap; the other two (~90s each on 1 core) run in the slow tier
+        pytest.param(2, 4, marks=pytest.mark.slow),
+        (4, 2),
+        pytest.param(8, 1, marks=pytest.mark.slow),
+    ],
+)
 def test_spmd_step_matches_mean_of_replica_losses(data, model):
     """Mesh-shape sweep incl. model>1: the encoder passes reshard over the
     full data x model mesh (train/spmd.py) and must still equal the
