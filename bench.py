@@ -177,6 +177,31 @@ def sec_pipeline(out: dict) -> None:
         flush=True,
     )
 
+    # multi-process decode path (data/mp_decode.py): measures the per-image
+    # WORKER CPU cost, which is the portable number — imgs/s on this
+    # few-core host is not. cores_per_chip = device eval rate x cpu_s/img.
+    mp_loader = GroupedTestLoader(
+        grouped, ids, src, BATCH, num_threads=threads,
+        num_procs=max(1, min(4, n_cores)),
+    )
+    try:
+        n = 0
+        t0 = time.perf_counter()
+        for b in mp_loader:
+            n += int(b.valid.sum())
+        mp_rate = n / (time.perf_counter() - t0)
+        cpu_per_img = mp_loader._mp_pool.cpu_s_per_image
+        out["mp_loader_imgs_per_sec"] = round(mp_rate, 1)
+        out["decode_cpu_ms_per_img"] = round(cpu_per_img * 1e3, 3)
+        print(
+            f"# mp loader: {mp_rate:.1f} imgs/s, worker CPU "
+            f"{cpu_per_img * 1e3:.2f} ms/img "
+            f"(feeding N imgs/s needs ~N*{cpu_per_img:.4f} cores)",
+            flush=True,
+        )
+    finally:
+        mp_loader.close()
+
     # compile the eval step once, then time the loader->device loop
     images = jnp.asarray(
         rng.integers(0, 256, (BATCH, res, res, 3), dtype=np.uint8)
@@ -255,6 +280,12 @@ def sec_train(out: dict) -> None:
 
 def _emit(out: dict) -> None:
     value = out.pop("eval_imgs_per_sec", None)
+    if value and out.get("decode_cpu_ms_per_img"):
+        # measured host-feed requirement: decode-worker cores needed to keep
+        # one chip at the headline eval rate (docs/SCALING.md "Feeding")
+        out["host_cores_to_feed_chip"] = round(
+            value * out["decode_cpu_ms_per_img"] / 1000.0, 1
+        )
     line = {
         "metric": "rn50_zeroshot_eval_imgs_per_sec_per_chip",
         "value": value if value is not None else 0.0,
@@ -327,8 +358,13 @@ def _run_with_watchdog() -> None:
     # timeouts + a retry of the headline are the whole defense, and partial
     # results are expected, not exceptional.
     out: dict = {}
-    plans = [(["eval"], 170), (["train"], 170), (["vit"], 120),
-             (["pipeline"], 120)]
+    # train's cold compile+trace measured ~190s on an idle host — a 170s
+    # first attempt dies BEFORE the compile lands server-side, so the retry
+    # recompiles cold too (exactly the r02 failure). 210s clears it, and a
+    # warm server cache (the common case: build/test sessions run these
+    # same HLOs) brings every section to well under a minute.
+    plans = [(["eval"], 150), (["train"], 210), (["vit"], 110),
+             (["pipeline"], 110)]
     for names, t in plans:
         if left() < 45:
             print(f"# skipping {names}: budget exhausted", flush=True)

@@ -50,6 +50,11 @@ class Config:
     graph_path: str = "data/process_results/graph_edges_cls.json"
     split_path: str = "data/process_results/splits_for_tree.json"
     num_workers: int = 12
+    # decode worker PROCESSES (0 = thread pool). The thread pool serializes
+    # per-image Python on the GIL; set this ~= host cores on many-core hosts
+    # to scale decode like the reference's 12-process DataLoader
+    # (imagenet_group.py:105). See data/mp_decode.py + docs/SCALING.md.
+    num_proc_workers: int = 0
     batch_size: int = 256
     test_batch_size: int = 512
     k_shots: int = -1

@@ -158,6 +158,32 @@ def kshot_subsample(
     return out
 
 
+def _maybe_mp_pool(source, num_procs: int, batch_size: int):
+    """A ProcessDecodePool when multi-process decode applies (file-backed
+    source, num_procs > 0), else None. The process path replaces torch's
+    12-worker DataLoader boundary (``imagenet_group.py:105``) — the thread
+    pool serializes the per-image Python on the GIL; processes do not
+    (see mp_decode.py)."""
+    if num_procs > 0 and isinstance(source, FileImageSource):
+        from .mp_decode import ProcessDecodePool
+
+        return ProcessDecodePool(
+            source.resolution,
+            batch_size,
+            image_root=source.image_root,
+            num_workers=num_procs,
+            raw_uint8=source.raw_uint8,
+        )
+    return None
+
+
+def _decode_rows(source, thread_pool, mp_pool, cls, paths, idxs):
+    """Decode ``paths[idxs]`` -> list of [H, W, 3] rows via whichever pool."""
+    if mp_pool is not None:
+        return list(mp_pool.decode(cls, paths, idxs))
+    return list(thread_pool.map(lambda i: source.load(cls, paths, i), idxs))
+
+
 class Prefetcher:
     """Bounded-queue background producer.
 
@@ -209,6 +235,7 @@ class GroupedTrainLoader:
         num_threads: int = 8,
         prefetch: int = 4,
         serial_batches: bool = True,
+        num_procs: int = 0,
     ):
         # serial_batches=False reproduces the reference's non-serial mode
         # (imagenet_group.py:142-143): every episode draws a FRESH random
@@ -226,6 +253,7 @@ class GroupedTrainLoader:
         self.classes = list(self.grouped.keys())
         self._cursors: Dict[str, List[int]] = {}
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
         self._prefetch = prefetch
 
     def _next_indices(self, cls: str) -> List[int]:
@@ -250,12 +278,14 @@ class GroupedTrainLoader:
             for g in order:
                 yield self.classes[int(g)]
 
+    def close(self) -> None:
+        if self._mp_pool is not None:
+            self._mp_pool.close()
+
     def _make_batch(self, cls: str) -> GroupBatch:
         paths = self.grouped[cls]
         idxs = self._next_indices(cls)
-        imgs = list(
-            self._pool.map(lambda i: self.source.load(cls, paths, i), idxs)
-        )
+        imgs = _decode_rows(self.source, self._pool, self._mp_pool, cls, paths, idxs)
         B = self.batch_size
         h, w, c = imgs[0].shape
         out = np.zeros((B, h, w, c), imgs[0].dtype)
@@ -297,6 +327,7 @@ class FlatTrainLoader:
         num_threads: int = 8,
         prefetch: int = 4,
         drop_last: bool = True,
+        num_procs: int = 0,
     ):
         self.items: List[Tuple[str, int, int]] = []  # (cls, idx, label)
         self.grouped = grouped
@@ -307,6 +338,7 @@ class FlatTrainLoader:
         self.source = source
         self.rng = np.random.default_rng(seed)
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
         self._prefetch = prefetch
         self.drop_last = drop_last
         n = len(self.items)
@@ -314,6 +346,22 @@ class FlatTrainLoader:
 
     def __len__(self) -> int:
         return self.num_batches
+
+    def close(self) -> None:
+        if self._mp_pool is not None:
+            self._mp_pool.close()
+
+    def _decode(self, rows):
+        if self._mp_pool is not None:
+            return list(self._mp_pool.decode_pairs([
+                (self.grouped[r[0]][r[1]], self.grouped[r[0]][0]) for r in rows
+            ]))
+        return list(
+            self._pool.map(
+                lambda r: self.source.load(r[0], self.grouped[r[0]], r[1]),
+                rows,
+            )
+        )
 
     def __iter__(self):
         order = self.rng.permutation(len(self.items))
@@ -323,12 +371,7 @@ class FlatTrainLoader:
             for s in range(self.num_batches):
                 idxs = order[s * B : (s + 1) * B]
                 rows = [self.items[i] for i in idxs]
-                imgs = list(
-                    self._pool.map(
-                        lambda r: self.source.load(r[0], self.grouped[r[0]], r[1]),
-                        rows,
-                    )
-                )
+                imgs = self._decode(rows)
                 h, w, c = imgs[0].shape
                 out = np.zeros((B, h, w, c), imgs[0].dtype)
                 valid = np.zeros(B, bool)
@@ -353,12 +396,14 @@ class GroupedTestLoader:
         batch_size: int,
         num_threads: int = 8,
         prefetch: int = 4,
+        num_procs: int = 0,
     ):
         self.grouped = {c: p for c, p in grouped.items() if len(p) > 0}
         self.class_ids = class_ids
         self.source = source
         self.batch_size = batch_size
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
         self._prefetch = prefetch
         self.num_batches = sum(
             (len(p) + batch_size - 1) // batch_size
@@ -369,6 +414,10 @@ class GroupedTestLoader:
     def __len__(self) -> int:
         return self.num_batches
 
+    def close(self) -> None:
+        if self._mp_pool is not None:
+            self._mp_pool.close()
+
     def __iter__(self) -> Iterator[GroupBatch]:
         def gen():
             B = self.batch_size
@@ -376,10 +425,8 @@ class GroupedTestLoader:
                 n = len(paths)
                 for start in range(0, n, B):
                     idxs = list(range(start, min(start + B, n)))
-                    imgs = list(
-                        self._pool.map(
-                            lambda i: self.source.load(cls, paths, i), idxs
-                        )
+                    imgs = _decode_rows(
+                        self.source, self._pool, self._mp_pool, cls, paths, idxs
                     )
                     h, w, c = imgs[0].shape
                     out = np.zeros((B, h, w, c), imgs[0].dtype)

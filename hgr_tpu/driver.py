@@ -194,6 +194,7 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
         _image_source(config, tm.clip_cfg.image_resolution),
         test_bs,
         num_threads=config.num_workers,
+        num_procs=config.num_proc_workers,
     )
     logger.log_text(f"number of batches:{loader.num_batches}")
 
@@ -258,6 +259,7 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
         config.batch_size,
         seed=config.seed,
         num_threads=config.num_workers,
+        num_procs=config.num_proc_workers,
     )
     seen_tokens = jnp.asarray(tm.node_tokens[seen_ids])
     total_steps = config.epochs * max(1, len(loader))
@@ -321,6 +323,7 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
         n_episodes=config.n_episodes,
         seed=config.seed,
         num_threads=config.num_workers,
+        num_procs=config.num_proc_workers,
         serial_batches=config.serial_batches,
     )
     num_batches = loader.n_episodes

@@ -1,0 +1,117 @@
+"""Multi-process decode pool: parity with the thread-pool path, mixed-class
+pairs mode, corrupt-image fallback across the process boundary, CPU
+accounting, clean shutdown. This is the TPU-native equivalent of the
+reference's 12-worker DataLoader process boundary
+(``dataset/imagenet_group.py:105``)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from hgr_tpu.data.mp_decode import ProcessDecodePool
+from hgr_tpu.data.pipeline import (
+    FileImageSource,
+    FlatTrainLoader,
+    GroupedTestLoader,
+)
+
+
+def _jpeg(path, seed, w=96, h=80):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    x = rng.random((8, 8, 3))
+    arr = (np.kron(x, np.ones((h // 8, w // 8, 1))) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path, format="JPEG", quality=92)
+
+
+@pytest.fixture()
+def jpeg_tree(tmp_path):
+    grouped = {}
+    for c in range(3):
+        d = tmp_path / f"c{c}"
+        d.mkdir()
+        paths = []
+        for j in range(5):
+            p = d / f"{j}.jpg"
+            _jpeg(str(p), seed=c * 100 + j)
+            paths.append(f"c{c}/{j}.jpg")
+        grouped[f"c{c}"] = paths
+    return str(tmp_path), grouped
+
+
+def test_pool_matches_thread_path(jpeg_tree):
+    root, grouped = jpeg_tree
+    src = FileImageSource(resolution=32, image_root=root)
+    cls = "c1"
+    idxs = [0, 3, 2, 4]
+    want = np.stack([src.load(cls, grouped[cls], i) for i in idxs])
+    with ProcessDecodePool(32, batch_size=8, image_root=root,
+                           num_workers=2) as pool:
+        got = pool.decode(cls, grouped[cls], idxs)
+        np.testing.assert_array_equal(got, want)
+        # accounting: every image counted, CPU time observed
+        assert pool.images_decoded == len(idxs)
+        assert pool.cpu_s_per_image > 0.0
+        # pairs mode (mixed classes) matches per-row loads
+        pairs = [
+            (os.path.join(c, f"{j}.jpg"), grouped[c][0])
+            for c, j in [("c0", 1), ("c2", 4), ("c1", 0)]
+        ]
+        want2 = np.stack([
+            src.load(c, grouped[c], j) for c, j in [("c0", 1), ("c2", 4), ("c1", 0)]
+        ])
+        np.testing.assert_array_equal(pool.decode_pairs(pairs), want2)
+
+
+def test_pool_corrupt_fallback_crosses_process(jpeg_tree):
+    root, grouped = jpeg_tree
+    bad = os.path.join(root, "c0", "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg at all")
+    paths = [grouped["c0"][0], "c0/bad.jpg"]
+    src = FileImageSource(resolution=32, image_root=root)
+    first = src.load("c0", paths, 0)
+    with ProcessDecodePool(32, batch_size=4, image_root=root,
+                           num_workers=2) as pool:
+        out = pool.decode("c0", paths, [1])
+        # corrupt row silently becomes the class's first image
+        # (reference dataset/imagenet.py:149-152)
+        np.testing.assert_array_equal(out[0], first)
+
+
+def test_grouped_test_loader_mp_equals_threads(jpeg_tree):
+    root, grouped = jpeg_tree
+    ids = {c: i for i, c in enumerate(grouped)}
+    src = FileImageSource(resolution=32, image_root=root)
+    lt = GroupedTestLoader(grouped, ids, src, batch_size=4, num_threads=2)
+    lm = GroupedTestLoader(grouped, ids, src, batch_size=4, num_threads=2,
+                           num_procs=2)
+    try:
+        bt = list(lt)
+        bm = list(lm)
+        assert len(bt) == len(bm) == lt.num_batches
+        for a, b in zip(bt, bm):
+            assert a.target == b.target
+            np.testing.assert_array_equal(a.valid, b.valid)
+            np.testing.assert_array_equal(a.images, b.images)
+    finally:
+        lm.close()
+
+
+def test_flat_loader_mp_equals_threads(jpeg_tree):
+    root, grouped = jpeg_tree
+    ids = {c: i for i, c in enumerate(grouped)}
+    src = FileImageSource(resolution=32, image_root=root)
+    lt = FlatTrainLoader(grouped, ids, src, batch_size=4, seed=7, num_threads=2)
+    lm = FlatTrainLoader(grouped, ids, src, batch_size=4, seed=7, num_threads=2,
+                         num_procs=2)
+    try:
+        for (ia, la, va), (ib, lb, vb) in zip(lt, lm):
+            np.testing.assert_array_equal(la, lb)
+            np.testing.assert_array_equal(va, vb)
+            np.testing.assert_array_equal(ia, ib)
+    finally:
+        lm.close()
