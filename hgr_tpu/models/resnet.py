@@ -141,15 +141,56 @@ def resnet_init(
     return p
 
 
+def s2d_stem_conv1(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """conv1 (3x3, stride 2, pad 1, in=3) re-expressed as a 2x2 stride-1
+    conv over a 2x2 space-to-depth view of the input — bit-identical math
+    (`tests/test_ops.py::test_s2d_stem_matches_conv1`), but 12 input
+    channels instead of 3, the standard TPU ResNet-stem transform for
+    better MXU tiling of the stem GEMM.
+
+    Derivation: output (i, j) reads input rows 2i-1..2i+1 (pad 1); under
+    2x2 blocking those rows live in block-rows i-1..i, so the kernel
+    becomes 2x2 over blocks with padding (1, 0). The 3x3 taps sit at
+    offsets 1..3 of the blocks' 4-row window, so the kernel is zero-padded
+    to 4x4 at offset (1, 1) then regrouped to [2, 2, 4*Cin, Cout] in the
+    same (dh, dw, c) channel order as the space-to-depth input."""
+    B, H, W, C = x.shape
+    cout = w.shape[-1]
+    xs = (
+        x.reshape(B, H // 2, 2, W // 2, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H // 2, W // 2, 4 * C)
+    )
+    w4 = jnp.zeros((4, 4, C, cout), w.dtype).at[1:4, 1:4].set(w)
+    w2 = (
+        w4.reshape(2, 2, 2, 2, C, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(2, 2, 4 * C, cout)
+    )
+    return jax.lax.conv_general_dilated(
+        xs,
+        w2.astype(xs.dtype),
+        window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def resnet_apply(
     p: Params,
     x: jnp.ndarray,  # [B, H, W, 3]
     layers: Sequence[int],
     heads: int,
     dtype=jnp.bfloat16,
+    s2d_stem: bool = False,
 ) -> jnp.ndarray:
     x = x.astype(dtype)
-    x = jax.nn.relu(batch_norm(p["bn1"], conv2d(p["conv1"], x, stride=2, padding=1)))
+    if s2d_stem:
+        x = jax.nn.relu(batch_norm(p["bn1"], s2d_stem_conv1(p["conv1"]["w"], x)))
+    else:
+        x = jax.nn.relu(
+            batch_norm(p["bn1"], conv2d(p["conv1"], x, stride=2, padding=1))
+        )
     x = jax.nn.relu(batch_norm(p["bn2"], conv2d(p["conv2"], x, padding=1)))
     x = jax.nn.relu(batch_norm(p["bn3"], conv2d(p["conv3"], x, padding=1)))
     x = avg_pool(x, 2)

@@ -127,3 +127,21 @@ def test_transformer_policy_remat_matches_full_remat():
         np.testing.assert_allclose(float(l_full), float(l_pol), rtol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_pol)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_s2d_stem_matches_conv1():
+    """The space-to-depth stem transform (models/resnet.py:s2d_stem_conv1)
+    must equal the plain 3x3/stride-2/pad-1 conv1 — same math, re-tiled for
+    the MXU (kernel zero-pad offset and the (dh, dw, c) channel regrouping
+    are the easy things to get off-by-one)."""
+    from hgr_tpu.models.layers import conv2d
+    from hgr_tpu.models.resnet import s2d_stem_conv1
+
+    rng = np.random.default_rng(3)
+    for H, cout in [(224, 32), (32, 8)]:
+        x = jnp.asarray(rng.standard_normal((2, H, H, 3)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, cout)), jnp.float32)
+        a = conv2d({"w": w}, x, stride=2, padding=1)
+        b = s2d_stem_conv1(w, x)
+        assert a.shape == b.shape == (2, H // 2, H // 2, cout)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
