@@ -22,10 +22,11 @@ nested under ``"extra"``.
 
 Robustness: the TPU tunnel in this environment occasionally hangs a whole
 process mid-run, and remote-compile times vary 2x run to run. The watchdog
-therefore probes the chip with a tiny matmul, then runs EACH section in its
-own child process with its own timeout, merging whatever succeeded — a hang
-in one section cannot take down the headline. Budget via
-``HGR_BENCH_BUDGET_S`` (default 520, fits a ``timeout 550`` caller).
+runs ONE combined child over all sections (sharing setup + compiles), which
+prints cumulative ``#partial`` result lines after each section so a timeout
+only loses the unfinished tail; missing sections then get individual retry
+children. Budget via ``HGR_BENCH_BUDGET_S`` (default 520, fits a
+``timeout 550`` caller).
 """
 
 from __future__ import annotations
@@ -244,9 +245,18 @@ def sec_train(out: dict) -> None:
     res = tm.clip_cfg.image_resolution
     target = int(hier.level(hier.max_depth)[0])
 
+    import jax
+
     tcfg = Config(arch="RN50", num_compare=256, batch_size=256, remat=True)
     tx = make_optimizer(tcfg, total_steps=100)
-    state = init_train_state(tm.params, tm.layer_weight, tx)
+    # COPY the params into the train state: the production step donates its
+    # state buffers (donate=True), which would invalidate tm.params and
+    # crash any later section reusing them ("TPU backend error
+    # (InvalidArgument)" at the pipeline section's first device call —
+    # observed twice before this copy)
+    state = init_train_state(
+        jax.tree.map(jnp.copy, tm.params), tm.layer_weight, tx
+    )
     step_fn = make_train_step(tcfg, tm.clip_cfg, tx, dtype=jnp.bfloat16)
 
     sampler = NegativeSampler(
@@ -309,7 +319,16 @@ def main(sections=None) -> None:
     fns = {"eval": sec_eval, "vit": sec_vit, "pipeline": sec_pipeline,
            "train": sec_train}
     for s in sections:
-        fns[s](out)
+        try:
+            fns[s](out)
+        except Exception as e:  # a section crash must not kill later ones
+            # (observed: transient "TPU backend error (InvalidArgument)"
+            # mid-run; the watchdog retries whatever is missing)
+            print(f"# section {s} failed in-process: "
+                  f"{type(e).__name__}: {str(e)[-200:]}", flush=True)
+        # incremental partial line: if the watchdog kills this child
+        # mid-section, everything completed so far is still harvested
+        print("#partial " + json.dumps(out), flush=True)
     _emit(out)
 
 
@@ -317,8 +336,22 @@ def main(sections=None) -> None:
 # watchdog
 # ---------------------------------------------------------------------------
 
+def _parse_partials(stdout: str):
+    """Last ``#partial`` line (cumulative section results) from child output."""
+    last = None
+    for line in stdout.splitlines():
+        if line.startswith("#partial "):
+            try:
+                last = json.loads(line[len("#partial "):])
+            except json.JSONDecodeError:
+                pass
+    return last
+
+
 def _child(sections, timeout_s: float):
-    """Run the given sections in a child process -> (dict-or-None, note)."""
+    """Run the given sections in a child process -> (dict-or-None, note).
+    A timed-out or crashed child still returns the sections it finished
+    (harvested from its incremental ``#partial`` lines)."""
     env = dict(os.environ)
     env["HGR_BENCH_INNER"] = "1"
     env["HGR_BENCH_SECTIONS"] = ",".join(sections)
@@ -328,19 +361,22 @@ def _child(sections, timeout_s: float):
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, timeout=timeout_s, env=env,
         )
-    except subprocess.TimeoutExpired:
-        return None, "timeout"
-    for line in proc.stdout.splitlines():
-        if line.startswith("#"):
+        stdout, rc = proc.stdout, proc.returncode
+        note = "ok" if rc == 0 else f"rc={rc}: {(proc.stderr or '')[-200:]}"
+    except subprocess.TimeoutExpired as e:
+        stdout = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        rc, note = -1, "timeout"
+    for line in stdout.splitlines():
+        if line.startswith("#") and not line.startswith("#partial"):
             print(line, flush=True)
-    jlines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-    if proc.returncode != 0 or not jlines:
-        return None, f"rc={proc.returncode}: {(proc.stderr or '')[-200:]}"
-    d = json.loads(jlines[-1])
-    merged = dict(d.get("extra", {}))
-    if d.get("value"):
-        merged["eval_imgs_per_sec"] = d["value"]
-    return merged, "ok"
+    jlines = [l for l in stdout.splitlines() if l.startswith("{")]
+    if rc == 0 and jlines:
+        d = json.loads(jlines[-1])
+        merged = dict(d.get("extra", {}))
+        if d.get("value"):
+            merged["eval_imgs_per_sec"] = d["value"]
+        return merged, note
+    return _parse_partials(stdout), note
 
 
 def _run_with_watchdog() -> None:
@@ -352,37 +388,46 @@ def _run_with_watchdog() -> None:
 
     # Section children, in priority order: the headline eval gets the
     # big-compile-day budget first; pipeline re-derives the eval compile so
-    # it runs late. Remote-compile time varies ~2x, and the tunnel hang
-    # strikes processes at RANDOM (measured: three tiny-matmul probes hung,
-    # then a full eval child succeeded) — so no up-front probe; per-section
-    # timeouts + a retry of the headline are the whole defense, and partial
+    # Strategy (r03, after r02 lost every non-eval section to timeouts):
+    # ONE combined child runs all sections in priority order, sharing the
+    # TreeModel setup and the eval-step compile across sections; it prints
+    # cumulative ``#partial`` lines after each section, so a hang only
+    # costs the unfinished tail, not the whole child. Whatever is still
+    # missing gets individual retry children (which benefit from the axon
+    # server's compile cache when the first pass got that far). Remote
+    # compiles vary ~2x and the tunnel hangs strike at random — partial
     # results are expected, not exceptional.
+    need = {"eval": "eval_imgs_per_sec", "train": "train_imgs_per_sec",
+            "vit": "vit_b32_eval_imgs_per_sec",
+            "pipeline": "e2e_eval_imgs_per_sec"}
+    order = ["eval", "train", "vit", "pipeline"]
+
+    def missing(d):
+        return [s for s in order if need[s] not in d]
+
     out: dict = {}
-    # train's cold compile+trace measured ~190s on an idle host — a 170s
-    # first attempt dies BEFORE the compile lands server-side, so the retry
-    # recompiles cold too (exactly the r02 failure). 210s clears it, and a
-    # warm server cache (the common case: build/test sessions run these
-    # same HLOs) brings every section to well under a minute.
-    plans = [(["eval"], 150), (["train"], 210), (["vit"], 110),
-             (["pipeline"], 110)]
-    for names, t in plans:
+    res, note = _child(order, max(min(left() - 60.0, 460.0), 120.0))
+    if res:
+        out.update(res)
+    done = [s for s in order if s not in missing(out)]
+    print(f"# combined pass ({note}): landed {done or 'nothing'}", flush=True)
+
+    # per-section retries: cold compile+trace costs measured on an idle
+    # host — eval ~90-150s, train ~190s (a 170s timeout dies BEFORE the
+    # compile finishes, which is exactly the r02 failure), vit/pipeline
+    # ~110s. Warm server cache brings each to well under a minute.
+    retry_t = {"eval": 150, "train": 210, "vit": 110, "pipeline": 150}
+    for s in missing(out):
         if left() < 45:
-            print(f"# skipping {names}: budget exhausted", flush=True)
+            print(f"# skipping retry of {s}: budget exhausted", flush=True)
             continue
-        # every section gets one retry when budget allows: a timed-out
-        # first attempt usually leaves the remote-compile result cached
-        # server-side, so the retry compiles near-instantly (observed
-        # repeatedly: attempt 1 times out at 250s, attempt 2 lands fast)
-        for attempt in range(2):
-            res, note = _child(names, min(t + 80 * attempt,
-                                          max(left() - 10, 30)))
-            if res is not None:
-                out.update(res)
-                break
-            print(f"# section {names} attempt {attempt + 1} failed ({note})",
-                  flush=True)
-            if left() < 100:
-                break
+        res, note = _child([s], min(retry_t[s], max(left() - 10, 30)))
+        if res:
+            out.update(res)
+        if need[s] in out:
+            print(f"# retry of {s}: landed", flush=True)
+        else:
+            print(f"# retry of {s} failed ({note})", flush=True)
 
     # degraded-tunnel gate: in bad phases the per-call dispatch overhead
     # slows the MEASUREMENT ~16x (observed: 502 imgs/s vs the stable ~8.4k)

@@ -35,6 +35,32 @@ def test_step_timer():
     assert s["p95_ms"] >= s["p50_ms"]
 
 
+def test_trace_window_short_epochs_and_close(tmp_path):
+    """Epochs shorter than the trace window must not double-start a trace on
+    the next epoch (the re-entry bug: before() at i==start while a trace is
+    still active raises), and close() must flush a still-open window so a
+    run that ends mid-window still writes a trace."""
+    from hgr_tpu.utils.profiling import TraceWindow
+
+    w = TraceWindow(str(tmp_path / "t1"), start=1, stop=3)
+    for epoch in range(2):           # 2-step epochs end before stop=3
+        for i in range(2):
+            w.before(i)              # second epoch's i==1 hits the guard
+            w.after(i)
+    assert w._active                 # window still open across epochs
+    w.close()                        # run ends mid-window -> flush
+    assert not w._active and w._done
+    w.close()                        # idempotent
+    assert any(tmp_path.joinpath("t1").rglob("*")), "no trace written"
+
+    # no-op when log_dir is empty
+    w2 = TraceWindow("", start=0, stop=1)
+    w2.before(0)
+    w2.after(0)
+    w2.close()
+    assert not w2._active
+
+
 def test_zoo_random_load():
     from hgr_tpu.models.zoo import load
 
