@@ -82,6 +82,20 @@ def test_pool_corrupt_fallback_crosses_process(jpeg_tree):
         np.testing.assert_array_equal(out[0], first)
 
 
+def test_pool_worker_error_propagates(jpeg_tree):
+    """A decode failure that even the fallback can't absorb (both the row's
+    path and the class's first image are missing) must surface as a parent
+    RuntimeError — not a silent zero row or a hung queue — and the pool must
+    still be usable afterwards."""
+    root, grouped = jpeg_tree
+    with ProcessDecodePool(32, batch_size=4, image_root=root,
+                           num_workers=2) as pool:
+        with pytest.raises(RuntimeError, match="decode worker failed"):
+            pool.decode("cX", ["cX/none.jpg", "cX/other.jpg"], [1])
+        out = pool.decode("c0", grouped["c0"], [0, 1])  # pool still healthy
+        assert out.shape[0] == 2
+
+
 def test_grouped_test_loader_mp_equals_threads(jpeg_tree):
     root, grouped = jpeg_tree
     ids = {c: i for i, c in enumerate(grouped)}
@@ -94,6 +108,24 @@ def test_grouped_test_loader_mp_equals_threads(jpeg_tree):
         bm = list(lm)
         assert len(bt) == len(bm) == lt.num_batches
         for a, b in zip(bt, bm):
+            assert a.target == b.target
+            np.testing.assert_array_equal(a.valid, b.valid)
+            np.testing.assert_array_equal(a.images, b.images)
+    finally:
+        lm.close()
+
+
+def test_grouped_train_loader_mp_equals_threads(jpeg_tree):
+    from hgr_tpu.data.pipeline import GroupedTrainLoader
+
+    root, grouped = jpeg_tree
+    ids = {c: i for i, c in enumerate(grouped)}
+    src = FileImageSource(resolution=32, image_root=root)
+    kw = dict(batch_size=4, n_episodes=6, seed=11, num_threads=2)
+    lt = GroupedTrainLoader(grouped, ids, src, **kw)
+    lm = GroupedTrainLoader(grouped, ids, src, num_procs=2, **kw)
+    try:
+        for a, b in zip(lt, lm):  # same seed -> same class/index draws
             assert a.target == b.target
             np.testing.assert_array_equal(a.valid, b.valid)
             np.testing.assert_array_equal(a.images, b.images)
