@@ -1,12 +1,13 @@
-"""Capture an xprof trace of the RN50 eval step and print the top device ops.
+"""Capture an xprof trace of the RN50 eval or OM train step; print top ops.
 
-The profile-driven view of the eval headline (reference hot loop
-``main.py:135-191``): runs the jitted eval step at reference scale, traces N
-steps with ``jax.profiler``, then aggregates the Chrome-trace device lane by
-op and prints per-step costs with the HLO shapes. Used to produce the
-"where the eval step's time goes" table in docs/SCALING.md.
+The profile-driven view of the two headline loops (reference
+``main.py:135-191`` eval, ``model/clip_tree.py:241-280`` train): runs the
+jitted step at reference scale, traces N steps with ``jax.profiler``, then
+aggregates the Chrome-trace device lane by op and prints per-step costs with
+the HLO shapes. Used to produce the "where the step's time goes" tables in
+docs/SCALING.md.
 
-    python tools/profile_eval.py [--steps 5] [--out /tmp/xprof_eval]
+    python tools/profile_eval.py [--mode eval|train] [--steps 5] [--out DIR]
 """
 
 from __future__ import annotations
@@ -24,10 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(out_dir: str, steps: int) -> None:
-    import jax
-    import jax.numpy as jnp
-
+def _setup():
     from hgr_tpu.config import Config
     from hgr_tpu.hierarchy import synthetic_hierarchy
     from hgr_tpu.tree_model import TreeModel
@@ -35,6 +33,14 @@ def capture(out_dir: str, steps: int) -> None:
     hier = synthetic_hierarchy(branching=3, levels=8, extra_edges=50, seed=0)
     tm = TreeModel.build(Config(arch="RN50"), hier, pad_multiple=18432)
     tm.init_params(0)
+    return hier, tm
+
+
+def capture_eval(out_dir: str, steps: int) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    hier, tm = _setup()
     rng = np.random.default_rng(0)
     bank = jnp.asarray(
         rng.standard_normal((tm.n_pad, tm.clip_cfg.embed_dim)).astype(np.float32),
@@ -49,6 +55,49 @@ def capture(out_dir: str, steps: int) -> None:
     for _ in range(steps):
         m = tm.eval_step_sorted(tm.params, bank_s, images, target)
     np.asarray(m.num)
+    jax.profiler.stop_trace()
+
+
+def capture_train(out_dir: str, steps: int) -> None:
+    """Reference-default OM train step (batch 256, num_compare 256, remat),
+    the same configuration bench.py's train section measures."""
+    import jax
+    import jax.numpy as jnp
+
+    from hgr_tpu.config import Config
+    from hgr_tpu.train import (
+        NegativeSampler,
+        ScheduleBuilder,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        sched_to_device,
+    )
+
+    hier, tm = _setup()
+    rng = np.random.default_rng(0)
+    target = int(hier.level(hier.max_depth)[0])
+    tcfg = Config(arch="RN50", num_compare=256, batch_size=256, remat=True)
+    tx = make_optimizer(tcfg, total_steps=100)
+    state = init_train_state(
+        jax.tree.map(jnp.copy, tm.params), tm.layer_weight, tx
+    )
+    step_fn = make_train_step(tcfg, tm.clip_cfg, tx, dtype=jnp.bfloat16)
+    sampler = NegativeSampler(hier, np.arange(hier.num_nodes),
+                              tcfg.num_compare, seed=0)
+    builder = ScheduleBuilder(hier, sampler, tcfg.out_ratio, tcfg.in_ratio,
+                              tcfg.num_compare)
+    sched = sched_to_device(builder.build(target))
+    images = jnp.asarray(
+        rng.standard_normal((tcfg.batch_size, 224, 224, 3)).astype(np.float32)
+    )
+    node_tokens = jnp.asarray(tm.node_tokens)
+    state, loss = step_fn(state, images, node_tokens, sched)  # compile
+    float(loss)
+    jax.profiler.start_trace(out_dir)
+    for _ in range(steps):
+        state, loss = step_fn(state, images, node_tokens, sched)
+    float(loss)
     jax.profiler.stop_trace()
 
 
@@ -87,14 +136,16 @@ def report(out_dir: str, steps: int, top: int = 15) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["eval", "train"], default="eval")
     ap.add_argument("--steps", type=int, default=5)
-    ap.add_argument("--out", default="/tmp/xprof_eval")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--report-only", action="store_true",
                     help="parse an existing trace instead of capturing")
     args = ap.parse_args()
+    out = args.out or f"/tmp/xprof_{args.mode}"
     if not args.report_only:
-        capture(args.out, args.steps)
-    report(args.out, args.steps)
+        (capture_eval if args.mode == "eval" else capture_train)(out, args.steps)
+    report(out, args.steps)
 
 
 if __name__ == "__main__":
