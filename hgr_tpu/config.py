@@ -169,8 +169,13 @@ class Config:
         parser = argparse.ArgumentParser(description="HGR (TPU)")
         for f in fields(cls):
             if f.type == "bool" or isinstance(f.default, bool):
+                # accept BOTH "--load True/False" (this CLI's style) and the
+                # reference's bare store_true style "--load" / "--fetch"
+                # (reference main.py:64-66), so its README commands run
+                # verbatim
                 parser.add_argument(
-                    f"--{f.name}", type=_parse_bool, default=f.default
+                    f"--{f.name}", type=_parse_bool, default=f.default,
+                    nargs="?", const=True,
                 )
             else:
                 parser.add_argument(

@@ -35,3 +35,27 @@ def test_zoo_names():
     names = available_models()
     for n in ["RN50", "RN101", "RN50x4", "RN50x16", "ViT-B/32", "ViT-B/16"]:
         assert n in names
+
+
+def test_reference_readme_commands_parse_verbatim():
+    """The reference README's exact flag styles must work unchanged — incl.
+    its bare store_true booleans (`--load`, `--fetch`; reference
+    main.py:64-66), alongside this CLI's explicit `--load True/False`."""
+    c = Config.from_args(
+        "--arch RN50 --training_method OM --weights adaptive "
+        "--sample_strategy topk --lr 3e-7 --w_lr 1e-4 --out_ratio 0.25 "
+        "--in_ratio 0.5 --data_train train --data_test rest "
+        "--data_split_train train --data_split_test val --batch_size 256".split()
+    )
+    assert c.lr == 3e-7 and c.weights == "adaptive" and c.batch_size == 256
+
+    c = Config.from_args(
+        "--train False --load --load_path /tmp/m "
+        "--data_split_test zsl_test --test_batch_size 512".split()
+    )
+    assert c.train is False and c.load is True and c.load_path == "/tmp/m"
+
+    c = Config.from_args("--k_shots 10 --fetch --fetch_path /tmp/z".split())
+    assert c.fetch is True and c.k_shots == 10
+
+    assert Config.from_args(["--load", "False"]).load is False
