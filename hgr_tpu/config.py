@@ -33,6 +33,10 @@ class Config:
     print_freq: int = 1000
     debug: bool = False
     test_after_train: bool = False
+    # accepted for reference-command compatibility (main.py:18 selects
+    # `cuda:{device}`); meaningless on TPU — device placement is JAX's, and
+    # multi-chip layout comes from --mesh_data/--mesh_model
+    device: int = 0
 
     # model (main.py:24)
     arch: str = "RN50"
