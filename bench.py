@@ -163,12 +163,15 @@ def sec_pipeline(out: dict) -> None:
     n_cores = os.cpu_count() or 1
     threads = max(1, min(8, n_cores))
 
-    loader = GroupedTestLoader(grouped, ids, src, BATCH, num_threads=threads)
-    n = 0
-    t0 = time.perf_counter()
-    for b in loader:
-        n += int(b.valid.sum())
-    loader_rate = n / (time.perf_counter() - t0)
+    def _time_loader(loader) -> float:
+        n, t0 = 0, time.perf_counter()
+        for b in loader:
+            n += int(b.valid.sum())
+        return n / (time.perf_counter() - t0)
+
+    loader_rate = _time_loader(
+        GroupedTestLoader(grouped, ids, src, BATCH, num_threads=threads)
+    )
     out["loader_imgs_per_sec"] = round(loader_rate, 1)
     out["loader_imgs_per_sec_per_core"] = round(loader_rate / n_cores, 1)
     out["host_cores"] = n_cores
@@ -186,12 +189,8 @@ def sec_pipeline(out: dict) -> None:
         num_procs=max(1, min(4, n_cores)),
     )
     try:
-        n = 0
-        t0 = time.perf_counter()
-        for b in mp_loader:
-            n += int(b.valid.sum())
-        mp_rate = n / (time.perf_counter() - t0)
-        cpu_per_img = mp_loader._mp_pool.cpu_s_per_image
+        mp_rate = _time_loader(mp_loader)
+        cpu_per_img = mp_loader.mp_pool.cpu_s_per_image
         out["mp_loader_imgs_per_sec"] = round(mp_rate, 1)
         out["decode_cpu_ms_per_img"] = round(cpu_per_img * 1e3, 3)
         print(
@@ -386,8 +385,6 @@ def _run_with_watchdog() -> None:
     def left() -> float:
         return deadline - time.monotonic()
 
-    # Section children, in priority order: the headline eval gets the
-    # big-compile-day budget first; pipeline re-derives the eval compile so
     # Strategy (r03, after r02 lost every non-eval section to timeouts):
     # ONE combined child runs all sections in priority order, sharing the
     # TreeModel setup and the eval-step compile across sections; it prints

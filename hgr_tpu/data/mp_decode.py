@@ -23,7 +23,7 @@ import multiprocessing as mp
 import queue as queue_mod
 import time
 from multiprocessing import shared_memory
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
@@ -47,24 +47,17 @@ def _worker_main(task_q, done_q, shm_name, shape, dtype_str,
             task = task_q.get()
             if task is None:
                 break
+            row0, pairs = task                # per-row (path, fallback) pairs
             t0 = time.process_time()
             try:
-                if task[0] == "cls":          # one class, many indices
-                    _, row0, cls, paths, idxs = task
-                    n = len(idxs)
-                    for j, i in enumerate(idxs):
-                        buf[row0 + j] = src.load(cls, paths, i)
-                else:                          # per-row (path, fallback) pairs
-                    _, row0, pairs = task
-                    n = len(pairs)
-                    for j, (path, fb) in enumerate(pairs):
-                        # load([fb, path], 1): try `path`, corrupt-fallback
-                        # to `fb` (the row's class's first image)
-                        buf[row0 + j] = src.load("", [fb, path], 1)
+                for j, (path, fb) in enumerate(pairs):
+                    # load([fb, path], 1): try `path`, corrupt-fallback to
+                    # `fb` (the row's class's first image)
+                    buf[row0 + j] = src.load("", [fb, path], 1)
             except BaseException as e:  # noqa: BLE001 — must cross process
                 done_q.put(("err", f"{type(e).__name__}: {e}"))
                 continue
-            done_q.put(("ok", n, time.process_time() - t0))
+            done_q.put(("ok", len(pairs), time.process_time() - t0))
     finally:
         shm.close()
 
@@ -119,17 +112,16 @@ class ProcessDecodePool:
         self.images_decoded = 0
 
     def decode(self, cls: str, paths: Sequence[str], idxs: Sequence[int]) -> np.ndarray:
-        """Decode ``paths[idxs]`` of one class -> [len(idxs), H, W, 3] copy."""
-        return self._run(
-            len(idxs),
-            lambda lo, hi: ("cls", lo, cls, list(paths), list(idxs[lo:hi])),
-        )
+        """Decode ``paths[idxs]`` of one class -> [len(idxs), H, W, 3] copy.
+        (``cls`` is unused — kept to mirror ``ImageSource.load``'s shape.)"""
+        return self.decode_pairs([(paths[i], paths[0]) for i in idxs])
 
     def decode_pairs(self, pairs: Sequence) -> np.ndarray:
-        """Decode ``[(path, fallback_path), ...]`` rows of possibly mixed
-        classes (the flat-loader case) -> [len(pairs), H, W, 3] copy."""
+        """Decode ``[(path, fallback_path), ...]`` rows (any class mix) ->
+        [len(pairs), H, W, 3] copy. Only the strings each worker needs cross
+        the IPC boundary — two per row, never whole class path lists."""
         return self._run(
-            len(pairs), lambda lo, hi: ("pairs", lo, list(pairs[lo:hi]))
+            len(pairs), lambda lo, hi: (lo, list(pairs[lo:hi]))
         )
 
     def _run(self, k: int, make_task) -> np.ndarray:

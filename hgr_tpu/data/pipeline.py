@@ -253,7 +253,7 @@ class GroupedTrainLoader:
         self.classes = list(self.grouped.keys())
         self._cursors: Dict[str, List[int]] = {}
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
-        self._mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
+        self.mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
         self._prefetch = prefetch
 
     def _next_indices(self, cls: str) -> List[int]:
@@ -279,13 +279,13 @@ class GroupedTrainLoader:
                 yield self.classes[int(g)]
 
     def close(self) -> None:
-        if self._mp_pool is not None:
-            self._mp_pool.close()
+        if self.mp_pool is not None:
+            self.mp_pool.close()
 
     def _make_batch(self, cls: str) -> GroupBatch:
         paths = self.grouped[cls]
         idxs = self._next_indices(cls)
-        imgs = _decode_rows(self.source, self._pool, self._mp_pool, cls, paths, idxs)
+        imgs = _decode_rows(self.source, self._pool, self.mp_pool, cls, paths, idxs)
         B = self.batch_size
         h, w, c = imgs[0].shape
         out = np.zeros((B, h, w, c), imgs[0].dtype)
@@ -338,7 +338,7 @@ class FlatTrainLoader:
         self.source = source
         self.rng = np.random.default_rng(seed)
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
-        self._mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
+        self.mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
         self._prefetch = prefetch
         self.drop_last = drop_last
         n = len(self.items)
@@ -348,12 +348,12 @@ class FlatTrainLoader:
         return self.num_batches
 
     def close(self) -> None:
-        if self._mp_pool is not None:
-            self._mp_pool.close()
+        if self.mp_pool is not None:
+            self.mp_pool.close()
 
     def _decode(self, rows):
-        if self._mp_pool is not None:
-            return list(self._mp_pool.decode_pairs([
+        if self.mp_pool is not None:
+            return list(self.mp_pool.decode_pairs([
                 (self.grouped[r[0]][r[1]], self.grouped[r[0]][0]) for r in rows
             ]))
         return list(
@@ -403,7 +403,7 @@ class GroupedTestLoader:
         self.source = source
         self.batch_size = batch_size
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
-        self._mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
+        self.mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
         self._prefetch = prefetch
         self.num_batches = sum(
             (len(p) + batch_size - 1) // batch_size
@@ -415,8 +415,8 @@ class GroupedTestLoader:
         return self.num_batches
 
     def close(self) -> None:
-        if self._mp_pool is not None:
-            self._mp_pool.close()
+        if self.mp_pool is not None:
+            self.mp_pool.close()
 
     def __iter__(self) -> Iterator[GroupBatch]:
         def gen():
@@ -426,7 +426,7 @@ class GroupedTestLoader:
                 for start in range(0, n, B):
                     idxs = list(range(start, min(start + B, n)))
                     imgs = _decode_rows(
-                        self.source, self._pool, self._mp_pool, cls, paths, idxs
+                        self.source, self._pool, self.mp_pool, cls, paths, idxs
                     )
                     h, w, c = imgs[0].shape
                     out = np.zeros((B, h, w, c), imgs[0].dtype)
