@@ -409,6 +409,17 @@ def _run_with_watchdog() -> None:
     done = [s for s in order if s not in missing(out)]
     print(f"# combined pass ({note}): landed {done or 'nothing'}", flush=True)
 
+    if not done and left() > 200:
+        # landed NOTHING -> full-tunnel-hang signature, not a per-section
+        # cost problem; if the hang clears mid-budget a second combined
+        # pass captures everything, where a single-section retry wouldn't
+        res, note = _child(order, left() - 60.0)
+        if res:
+            out.update(res)
+        done = [s for s in order if s not in missing(out)]
+        print(f"# combined pass 2 ({note}): landed {done or 'nothing'}",
+              flush=True)
+
     # per-section retries: cold compile+trace costs measured on an idle
     # host — eval ~90-150s, train ~190s (a 170s timeout dies BEFORE the
     # compile finishes, which is exactly the r02 failure), vit/pipeline
