@@ -378,12 +378,38 @@ def _child(sections, timeout_s: float):
     return _parse_partials(stdout), note
 
 
+def _probe_tunnel(timeout_s: float = 60.0) -> bool:
+    """Tiny-matmul child: True if the TPU tunnel currently completes work.
+    Healthy ~5s, degraded-but-working 40-50s (sections still land in those
+    phases, hence the generous timeout), hung -> timeout."""
+    code = ("import jax, jax.numpy as jnp, numpy as np; "
+            "r = jax.jit(lambda a: a @ a)(jnp.ones((256, 256), jnp.bfloat16)); "
+            "np.asarray(r[0, 0]); print('ok')")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+        return p.returncode == 0 and "ok" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_with_watchdog() -> None:
     budget = float(os.environ.get("HGR_BENCH_BUDGET_S", "520"))
     deadline = time.monotonic() + budget
 
     def left() -> float:
         return deadline - time.monotonic()
+
+    # Wait out a hung tunnel cheaply instead of burning the whole budget on
+    # a doomed combined pass: hangs last minutes and clear spontaneously
+    # (measured repeatedly); with the warm server compile cache a late
+    # combined pass still lands everything in ~200s. Probes can false-fail
+    # in phases where full children succeed, so once budget drops to ~320s
+    # we run regardless.
+    while left() > 320 and not _probe_tunnel():
+        print(f"# tunnel probe failed; waiting ({left():.0f}s budget left)",
+              flush=True)
+        time.sleep(15)
 
     # Strategy (r03, after r02 lost every non-eval section to timeouts):
     # ONE combined child runs all sections in priority order, sharing the
