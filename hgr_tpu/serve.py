@@ -107,10 +107,12 @@ class ZeroShotClassifier:
 
     def classify_files(
         self, paths: Sequence[str], k: int = 5, batch: int = 64,
-        image_root: str = "", num_threads: int = 8,
+        image_root: str = "", num_threads: int = 8, num_procs: int = 0,
     ) -> List[List[Tuple[str, float]]]:
         """Decode files (native C++ fast path) and classify; returns per-image
-        [(wnid, score), ...] lists."""
+        [(wnid, score), ...] lists. ``num_procs > 0`` decodes in worker
+        PROCESSES (data/mp_decode.py) — the scaling path for many-core
+        serving hosts, same as the eval loaders' ``--num_proc_workers``."""
         from .data import FileImageSource
 
         src = FileImageSource(self.tm.clip_cfg.image_resolution, image_root)
@@ -118,19 +120,39 @@ class ZeroShotClassifier:
         out: List[List[Tuple[str, float]]] = []
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=num_threads) as pool:
-            for s in range(0, len(paths), batch):
-                chunk = list(paths[s : s + batch])
-                imgs = list(
-                    pool.map(lambda p: src.load("", [p], 0), chunk)
-                )
-                # keep the source dtype: raw uint8 batches are normalized
-                # ON DEVICE by encode_image (models/clip.py) — an astype
-                # to float here would silently skip that normalization
-                arr = np.stack(imgs)
-                ids, vals = self.classify(arr, k)
-                for row_ids, row_vals in zip(ids, vals):
-                    out.append(
-                        [(names[int(i)], float(v)) for i, v in zip(row_ids, row_vals)]
-                    )
+        mp_pool = None
+        if num_procs > 0:
+            from .data.mp_decode import ProcessDecodePool
+
+            mp_pool = ProcessDecodePool(
+                self.tm.clip_cfg.image_resolution, batch,
+                image_root=image_root, num_workers=num_procs,
+            )
+        try:
+            with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                for s in range(0, len(paths), batch):
+                    chunk = list(paths[s : s + batch])
+                    if mp_pool is not None:
+                        # a missing/corrupt file falls back to itself (fails
+                        # loudly) — serving has no "class's first image"
+                        imgs = list(mp_pool.decode_pairs(
+                            [(p, p) for p in chunk]
+                        ))
+                    else:
+                        imgs = list(
+                            pool.map(lambda p: src.load("", [p], 0), chunk)
+                        )
+                    # keep the source dtype: raw uint8 batches are normalized
+                    # ON DEVICE by encode_image (models/clip.py) — an astype
+                    # to float here would silently skip that normalization
+                    arr = np.stack(imgs)
+                    ids, vals = self.classify(arr, k)
+                    for row_ids, row_vals in zip(ids, vals):
+                        out.append(
+                            [(names[int(i)], float(v))
+                             for i, v in zip(row_ids, row_vals)]
+                        )
+        finally:
+            if mp_pool is not None:
+                mp_pool.close()
         return out

@@ -67,6 +67,26 @@ def test_classify_files(clf, tmp_path):
     assert out[0] == out[1]
 
 
+def test_classify_files_num_procs_matches_thread_path(clf, tmp_path):
+    """The process-pool decode option (num_procs>0, data/mp_decode.py) must
+    return exactly the thread-pool path's answers — same FileImageSource
+    defaults (native decode, raw uint8), only the execution vehicle differs."""
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    files = []
+    for i in range(3):
+        p = tmp_path / f"mp{i}.png"
+        Image.fromarray(
+            rng.integers(0, 255, (52, 44, 3), dtype=np.uint8)
+        ).save(p)
+        files.append(str(p))
+
+    want = clf.classify_files(files, k=3, batch=3)
+    got = clf.classify_files(files, k=3, batch=3, num_procs=2)
+    assert got == want
+
+
 def test_classify_files_matches_host_normalized_path(clf, tmp_path):
     """classify_files ships raw uint8 to the device (normalization fuses
     into the encoder, models/clip.py); its predictions must match classify()
