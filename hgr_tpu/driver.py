@@ -29,7 +29,7 @@ from .data import (
 from .eval.metrics import accumulate, summarize, zeros_metrics
 from .hierarchy import Hierarchy, synthetic_hierarchy
 from .tree_model import TreeModel
-from .utils.checkpoint import restore_params, save_checkpoint
+from .utils.checkpoint import restore_params
 from .utils.logging import RunLogger
 
 
@@ -245,7 +245,7 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
     from .baselines.clip_flat import make_flat_train_step
     from .data import FlatTrainLoader
     from .train.schedule import cosine_lr
-    from .utils.checkpoint import save_checkpoint
+    from .utils.checkpoint import AsyncCheckpointSaver
 
     grouped = _grouped_split(
         config, config.data_split_train, splits[config.data_train], splits
@@ -272,28 +272,29 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
     opt = tx.init(params)
     step = make_flat_train_step(tm.clip_cfg, tx, dtype=tm.dtype)
     logger.log_config(config)
-    for epoch in range(config.from_epoch + 1, config.epochs):
-        for i, (images, labels, valid) in enumerate(loader):
-            labels = np.asarray([seen_pos.get(int(l), 0) for l in labels])
-            params, opt, loss = step(
-                params, opt, jnp.asarray(images), seen_tokens,
-                jnp.asarray(labels),
-            )
-            if i % config.print_freq == 0:
-                logger.log_train(epoch, i, len(loader), float(loss))
-        tm.params = params["clip"]
+    with AsyncCheckpointSaver() as saver:
+        for epoch in range(config.from_epoch + 1, config.epochs):
+            for i, (images, labels, valid) in enumerate(loader):
+                labels = np.asarray([seen_pos.get(int(l), 0) for l in labels])
+                params, opt, loss = step(
+                    params, opt, jnp.asarray(images), seen_tokens,
+                    jnp.asarray(labels),
+                )
+                if i % config.print_freq == 0:
+                    logger.log_train(epoch, i, len(loader), float(loss))
+            tm.params = params["clip"]
 
-        class _S:  # minimal TrainState-shaped payload for the checkpointer
-            pass
+            class _S:  # minimal TrainState-shaped payload for the saver
+                pass
 
-        s = _S()
-        s.params = {"clip": tm.params, "layer_weight": tm.layer_weight}
-        s.opt_state = opt
-        s.step = jnp.asarray((epoch + 1) * len(loader), jnp.int32)
-        save_checkpoint(config.save_path, epoch, s)
-        logger.log_text(f"Model saved. epoch={epoch}")
-        if config.test_after_train:
-            run_test(config, tm, splits, logger)
+            s = _S()
+            s.params = {"clip": tm.params, "layer_weight": tm.layer_weight}
+            s.opt_state = opt
+            s.step = jnp.asarray((epoch + 1) * len(loader), jnp.int32)
+            saver.save(config.save_path, epoch, s)
+            logger.log_text(f"Model saved. epoch={epoch}")
+            if config.test_after_train:
+                run_test(config, tm, splits, logger)
     return params
 
 
@@ -439,56 +440,60 @@ def _epoch_loop(config, tm, splits, logger, tracer, state, step_fn, spmd_step,
 
     from .data import Prefetcher
     from .train import sched_to_device
-    from .utils.checkpoint import save_checkpoint
+    from .utils.checkpoint import AsyncCheckpointSaver
 
-    for epoch in range(config.from_epoch + 1, config.epochs):
-        epoch_t0 = time.time()
-        if config.sample_strategy in ("simi", "near_simi"):
-            # refresh the similarity-ranking bank once per epoch (the
-            # reference re-encodes per step inside no_grad; see sampling.py)
-            bank = tm.update_classifier(state.params["clip"])
-            sampler.set_class_feats(
-                np.asarray(bank[: tm.hier.num_nodes], np.float32)
-            )
-        for i, (images, sched_host) in enumerate(
-            Prefetcher(_prefetch_steps, depth=2)
-        ):
-            tracer.before(i)
-            if spmd_step is not None:
-                state, loss = spmd_step(
-                    state, jnp.asarray(images), node_tokens,
-                    {k: jnp.asarray(v) for k, v in sched_host.items()},
+    with AsyncCheckpointSaver() as saver:
+        for epoch in range(config.from_epoch + 1, config.epochs):
+            epoch_t0 = time.time()
+            if config.sample_strategy in ("simi", "near_simi"):
+                # refresh the similarity-ranking bank once per epoch (the
+                # reference re-encodes per step inside no_grad; sampling.py)
+                bank = tm.update_classifier(state.params["clip"])
+                sampler.set_class_feats(
+                    np.asarray(bank[: tm.hier.num_nodes], np.float32)
                 )
-            else:
-                state, loss = step_fn(
-                    state, jnp.asarray(images), node_tokens,
-                    sched_to_device(sched_host),
-                )
-            tracer.after(i, loss)
-            if i % config.print_freq == 0:
-                logger.log_train(epoch, i, steps_per_epoch, float(loss))
-        # drain the device queue by FETCHING a scalar — block_until_ready
-        # does not reliably sync through the axon TPU tunnel (CLAUDE.md),
-        # so epoch timing would over-report without this materialization
-        np.asarray(jnp.sum(state.params["layer_weight"]))
-        epoch_dt = time.time() - epoch_t0
-        logger.log_jsonl({
-            "event": "epoch_perf",
-            "epoch": epoch,
-            "steps": steps_per_epoch,
-            "step_ms": round(epoch_dt / max(steps_per_epoch, 1) * 1e3, 1),
-            "imgs_per_sec": round(
-                num_batches * config.batch_size / max(epoch_dt, 1e-9), 1
-            ),
-        })
-        tm.params = state.params["clip"]
-        tm.layer_weight = state.params["layer_weight"]
-        if config.coop:
-            tm.coop_ctx = state.params["coop_ctx"]
-        save_checkpoint(config.save_path, epoch, state)
-        logger.log_text(f"Model saved. epoch={epoch}")
-        if config.test_after_train:
-            run_test(config, tm, splits, logger)
+            for i, (images, sched_host) in enumerate(
+                Prefetcher(_prefetch_steps, depth=2)
+            ):
+                tracer.before(i)
+                if spmd_step is not None:
+                    state, loss = spmd_step(
+                        state, jnp.asarray(images), node_tokens,
+                        {k: jnp.asarray(v) for k, v in sched_host.items()},
+                    )
+                else:
+                    state, loss = step_fn(
+                        state, jnp.asarray(images), node_tokens,
+                        sched_to_device(sched_host),
+                    )
+                tracer.after(i, loss)
+                if i % config.print_freq == 0:
+                    logger.log_train(epoch, i, steps_per_epoch, float(loss))
+            # drain the device queue by FETCHING a scalar — block_until_ready
+            # does not reliably sync through the axon TPU tunnel (CLAUDE.md),
+            # so epoch timing would over-report without this materialization
+            np.asarray(jnp.sum(state.params["layer_weight"]))
+            epoch_dt = time.time() - epoch_t0
+            logger.log_jsonl({
+                "event": "epoch_perf",
+                "epoch": epoch,
+                "steps": steps_per_epoch,
+                "step_ms": round(epoch_dt / max(steps_per_epoch, 1) * 1e3, 1),
+                "imgs_per_sec": round(
+                    num_batches * config.batch_size / max(epoch_dt, 1e-9), 1
+                ),
+            })
+            tm.params = state.params["clip"]
+            tm.layer_weight = state.params["layer_weight"]
+            if config.coop:
+                tm.coop_ctx = state.params["coop_ctx"]
+            # async: epoch N's checkpoint commits to disk behind epoch N+1's
+            # compute (arrays are copied off-device before save returns, so
+            # the donating train step cannot clobber them)
+            saver.save(config.save_path, epoch, state)
+            logger.log_text(f"Model saved. epoch={epoch}")
+            if config.test_after_train:
+                run_test(config, tm, splits, logger)
     return state
 
 

@@ -81,6 +81,7 @@ def transformer_apply(
     mask: Optional[jnp.ndarray] = None,
     attn_fn=None,
     remat=False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run the stacked blocks with ``lax.scan``.
 
@@ -91,6 +92,11 @@ def transformer_apply(
     matmul outputs are saved, only cheap elementwise ops recompute in the
     backward — most of full remat's memory saving at a fraction of its
     recompute cost.
+
+    ``unroll`` is passed to ``lax.scan``: >1 replicates the block body per
+    scan iteration, letting XLA overlap/pipeline consecutive blocks at the
+    cost of code size. (Each replica stays individually checkpointed when
+    ``remat`` is on.)
     """
     def body(block_p, h):
         return block_apply(block_p, h, num_heads, mask, attn_fn)
@@ -103,5 +109,5 @@ def transformer_apply(
     def step(h, block_p):
         return body(block_p, h), None
 
-    out, _ = jax.lax.scan(step, x, p["blocks"])
+    out, _ = jax.lax.scan(step, x, p["blocks"], unroll=unroll)
     return out

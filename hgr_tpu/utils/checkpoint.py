@@ -40,15 +40,83 @@ def save_checkpoint(save_path: str, epoch: int, state: Any) -> str:
     return path
 
 
+class AsyncCheckpointSaver:
+    """Overlap checkpoint disk I/O with the next epoch's compute.
+
+    Orbax's ``StandardCheckpointer`` is an async checkpointer: ``save``
+    returns once the arrays are copied off the devices (so later donating
+    train steps cannot clobber them) and commits to disk in a background
+    thread. The blocking ``save_checkpoint`` above waits for that commit
+    every call — the same stall as the reference's per-epoch ``torch.save``
+    (``model/clip_tree.py:76-78``). This saver instead waits only for the
+    PREVIOUS save before launching the next (at most one outstanding write),
+    and ``close()`` / context-exit waits for the tail, so epoch N's
+    checkpoint writes behind epoch N+1's training.
+
+        with AsyncCheckpointSaver() as saver:
+            for epoch in ...:
+                ...train...
+                saver.save(save_path, epoch, state)
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, save_path: str, epoch: int, state: Any) -> str:
+        self._ckptr.wait_until_finished()  # at most one outstanding write
+        path = _ckpt_dir(save_path, epoch)
+        self._ckptr.save(
+            path,
+            {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+            force=True,
+        )
+        return path
+
+    def close(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _restore_host(path: str) -> Any:
+    """Restore a checkpoint as host numpy arrays, ignoring the shardings it
+    was saved with. A default (no-target) Orbax restore replays the saved
+    device layout, which fails when the checkpoint was written on different
+    hardware (e.g. TPU-trained, CPU-served); numpy leaves are placed on
+    whatever devices first touch them instead."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    if meta is None:
+        raise FileNotFoundError(
+            f"{path} is not an Orbax checkpoint (expected a clip_<epoch> "
+            "directory, e.g. {folder}/{exp_name}/{weights}_{out}_{in}/clip_3)"
+        )
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
+    )
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def restore_params(path: str) -> Any:
     """Restore only the params tree ({"clip": ..., "layer_weight": ...}) —
     the test/warm-start path (``--load`` / ``--fetch``), which needs no
-    optimizer structure."""
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.StandardCheckpointer()
-    raw = ckptr.restore(os.path.abspath(path))
-    return raw["params"]
+    optimizer structure. Device-agnostic (see ``_restore_host``)."""
+    return _restore_host(path)["params"]
 
 
 def restore_checkpoint(path: str, like: Any) -> Any:
@@ -99,6 +167,5 @@ def save_pytree(path: str, tree: Any) -> str:
 
 
 def load_pytree(path: str) -> Any:
-    import orbax.checkpoint as ocp
-
-    return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    """Device-agnostic pytree load (see ``_restore_host``)."""
+    return _restore_host(path)

@@ -129,6 +129,28 @@ def test_transformer_policy_remat_matches_full_remat():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_transformer_unroll_matches_scan():
+    """scan unroll>1 is a pure scheduling knob: outputs and grads must be
+    bit-comparable to the default scan (layers=3 also exercises the
+    non-divisible unroll=2 remainder path)."""
+    from hgr_tpu.models.transformer import transformer_apply, transformer_init
+
+    rng = np.random.default_rng(1)
+    p = transformer_init(jax.random.PRNGKey(1), width=32, layers=3)
+    x = jnp.asarray(rng.standard_normal((4, 8, 32)), jnp.float32)
+
+    def loss(p, unroll):
+        out = transformer_apply(p, x, num_heads=4, remat=True, unroll=unroll)
+        return jnp.sum(out**2)
+
+    l1, g1 = jax.value_and_grad(loss)(p, 1)
+    for u in (2, 3):
+        lu, gu = jax.value_and_grad(loss)(p, u)
+        np.testing.assert_allclose(float(l1), float(lu), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(gu)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_s2d_stem_matches_conv1():
     """The space-to-depth stem transform (models/resnet.py:s2d_stem_conv1)
     must equal the plain 3x3/stride-2/pad-1 conv1 — same math, re-tiled for

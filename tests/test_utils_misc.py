@@ -20,6 +20,51 @@ def test_latest_epoch(tmp_path):
     assert latest_epoch(str(tmp_path)) == 7
 
 
+def test_async_checkpoint_saver_roundtrip(tmp_path):
+    """Back-to-back async saves (the overlap path) then close must leave
+    both checkpoints fully committed and restorable, equal to the blocking
+    save_checkpoint contract."""
+    from hgr_tpu.utils.checkpoint import (
+        AsyncCheckpointSaver,
+        restore_checkpoint,
+    )
+
+    class _State:
+        def __init__(self, params, opt_state, step):
+            self.params, self.opt_state, self.step = params, opt_state, step
+
+    def make(seed):
+        rng = np.random.default_rng(seed)
+        return _State(
+            {"w": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)},
+            {"m": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)},
+            jnp.asarray(seed, jnp.int32),
+        )
+
+    s0, s1 = make(0), make(1)
+    with AsyncCheckpointSaver() as saver:
+        saver.save(str(tmp_path), 0, s0)
+        saver.save(str(tmp_path), 1, s1)  # waits for epoch-0's write first
+
+    # restore_params must come back as HOST arrays (device-agnostic: a
+    # TPU-written checkpoint restored in a CPU process replays no sharding)
+    from hgr_tpu.utils.checkpoint import restore_params
+
+    p = restore_params(str(tmp_path / "clip_1"))
+    assert type(p["w"]) is np.ndarray
+    np.testing.assert_array_equal(p["w"], np.asarray(s1.params["w"]))
+
+    for epoch, want in ((0, s0), (1, s1)):
+        got = restore_checkpoint(str(tmp_path / f"clip_{epoch}"), make(9))
+        np.testing.assert_array_equal(
+            np.asarray(got.params["w"]), np.asarray(want.params["w"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.opt_state["m"]), np.asarray(want.opt_state["m"])
+        )
+        assert int(got.step) == int(want.step)
+
+
 def test_step_timer():
     from hgr_tpu.utils.profiling import StepTimer, annotate
 
