@@ -180,6 +180,27 @@ def sec_pipeline(out: dict) -> None:
         f"(native decode, {loader_rate / n_cores:.1f}/core)",
         flush=True,
     )
+    # sub-section partial: the loader numbers are CPU-only — don't let a
+    # TPU hang later in this section (e2e) take them down with it
+    print("#partial " + json.dumps(out), flush=True)
+
+    # decode-cache replay (data/decode_cache.py): decode once, then serve
+    # rows from the uint8 memmap — the ahead-of-time answer to the
+    # cores-per-chip budget (docs/SCALING.md "Feeding the chip")
+    from hgr_tpu.data.decode_cache import open_or_build
+
+    cache_dir = os.path.join(jpeg_root, f"_cache_{res}")
+    cached_src = open_or_build(cache_dir, grouped, res, image_root=jpeg_root)
+    cached_rate = _time_loader(
+        GroupedTestLoader(grouped, ids, cached_src, BATCH, num_threads=threads)
+    )
+    out["cached_loader_imgs_per_sec"] = round(cached_rate, 1)
+    print(
+        f"# cached loader (decode-cache replay): {cached_rate:.1f} imgs/s "
+        f"on {n_cores} core(s)",
+        flush=True,
+    )
+    print("#partial " + json.dumps(out), flush=True)
 
     # multi-process decode path (data/mp_decode.py): measures the per-image
     # WORKER CPU cost, which is the portable number — imgs/s on this
@@ -201,6 +222,7 @@ def sec_pipeline(out: dict) -> None:
         )
     finally:
         mp_loader.close()
+    print("#partial " + json.dumps(out), flush=True)
 
     # compile the eval step once, then time the loader->device loop
     images = jnp.asarray(
@@ -224,6 +246,27 @@ def sec_pipeline(out: dict) -> None:
     out["e2e_eval_imgs_per_sec"] = round(n / (time.perf_counter() - t0), 1)
     print(f"# end-to-end eval (JPEG->metrics): {out['e2e_eval_imgs_per_sec']} "
           f"imgs/s", flush=True)
+    print("#partial " + json.dumps(out), flush=True)
+
+    # same loop fed from the decode cache (the replay path a production
+    # host would run on every pass after the first): loader ceases to be
+    # the bottleneck even on this 1-core host
+    loader = GroupedTestLoader(grouped, ids, cached_src, BATCH,
+                               num_threads=threads)
+    n = 0
+    t0 = time.perf_counter()
+    for b in loader:
+        mt = tm.eval_step_sorted(
+            tm.params, bank_s, jnp.asarray(b.images),
+            target, valid=jnp.asarray(b.valid),
+        )
+        n += int(b.valid.sum())
+    np.asarray(mt.num)
+    out["e2e_cached_eval_imgs_per_sec"] = round(
+        n / (time.perf_counter() - t0), 1
+    )
+    print(f"# end-to-end eval (decode-cache->metrics): "
+          f"{out['e2e_cached_eval_imgs_per_sec']} imgs/s", flush=True)
 
 
 def sec_train(out: dict) -> None:

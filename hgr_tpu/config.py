@@ -59,6 +59,11 @@ class Config:
     # to scale decode like the reference's 12-process DataLoader
     # (imagenet_group.py:105). See data/mp_decode.py + docs/SCALING.md.
     num_proc_workers: int = 0
+    # ahead-of-time decode cache root (data/decode_cache.py): per split, a
+    # one-time pass decodes the manifest into a uint8 memmap under
+    # {decode_cache}/{split}; later runs replay rows at memcpy speed
+    # (measured 61x less host CPU than JPEG decode — docs/SCALING.md)
+    decode_cache: str = ""
     batch_size: int = 256
     test_batch_size: int = 512
     k_shots: int = -1

@@ -1,3 +1,4 @@
+from .decode_cache import CachedImageSource, build_cache
 from .pipeline import (
     FileImageSource,
     FlatTrainLoader,
@@ -12,6 +13,8 @@ from .pipeline import (
 from .transforms import CLIP_MEAN, CLIP_STD, preprocess_pil
 
 __all__ = [
+    "CachedImageSource",
+    "build_cache",
     "FileImageSource",
     "FlatTrainLoader",
     "GroupBatch",

@@ -104,9 +104,21 @@ def build_model(config: Config, hier: Hierarchy, splits: Dict[str, list]) -> Tre
     return tm
 
 
-def _image_source(config: Config, resolution: int):
+def _image_source(config: Config, resolution: int, grouped=None, split=""):
     if getattr(config, "synthetic", False):
         return SyntheticImageSource(resolution)
+    if config.decode_cache and grouped is not None:
+        # ahead-of-time decode cache: build once (per split), replay at
+        # memcpy speed thereafter (data/decode_cache.py)
+        from .data.decode_cache import open_or_build
+
+        return open_or_build(
+            os.path.join(config.decode_cache, split or "default"),
+            grouped,
+            resolution,
+            image_root=config.image_root,
+            num_procs=config.num_proc_workers,
+        )
     return FileImageSource(resolution, config.image_root)
 
 
@@ -191,7 +203,8 @@ def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[s
     loader = GroupedTestLoader(
         grouped,
         {c: tm.hier.name_to_id[c] for c in grouped},
-        _image_source(config, tm.clip_cfg.image_resolution),
+        _image_source(config, tm.clip_cfg.image_resolution, grouped,
+                      config.data_split_test),
         test_bs,
         num_threads=config.num_workers,
         num_procs=config.num_proc_workers,
@@ -255,7 +268,8 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
     loader = FlatTrainLoader(
         grouped,
         {c: tm.hier.name_to_id[c] for c in grouped},
-        _image_source(config, tm.clip_cfg.image_resolution),
+        _image_source(config, tm.clip_cfg.image_resolution, grouped,
+                      config.data_split_train),
         config.batch_size,
         seed=config.seed,
         num_threads=config.num_workers,
@@ -319,7 +333,8 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
     loader = GroupedTrainLoader(
         grouped,
         {c: tm.hier.name_to_id[c] for c in grouped},
-        _image_source(config, tm.clip_cfg.image_resolution),
+        _image_source(config, tm.clip_cfg.image_resolution, grouped,
+                      config.data_split_train),
         config.batch_size,
         n_episodes=config.n_episodes,
         seed=config.seed,

@@ -171,3 +171,36 @@ def test_hops_split_and_kshot(dataset, tmp_path, monkeypatch):
     assert os.path.isdir(
         os.path.join(folder, "LS", "adaptive_0.25_0.5", "clip_0")
     )
+
+
+def _final_eval(run_dir):
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    return [l for l in lines
+            if l.get("event") == "eval" and l.get("tag") == "final"][-1]
+
+
+@pytest.mark.slow
+def test_decode_cache_eval_matches_online(dataset, tmp_path, monkeypatch):
+    """--decode_cache: first run builds the uint8 memmap cache (corrupt-image
+    fallback baked in), later runs replay it; metrics must equal the online
+    JPEG-decode path exactly (data/decode_cache.py)."""
+    monkeypatch.chdir(tmp_path)
+    root, data_dir, img_root = dataset
+    folder = str(tmp_path / "runs3")
+    from hgr_tpu.driver import main
+
+    base = _base_args(root, data_dir, img_root, folder)
+    main(base + ["--train", "False"])  # online (deterministic random init)
+    online = _final_eval(os.path.join(folder, "HGR", "adaptive_0.25_0.5"))
+
+    cache = str(tmp_path / "dcache")
+    main(base + ["--train", "False", "--decode_cache", cache,
+                 "--exp_name", "C1"])  # builds the cache
+    assert os.path.exists(os.path.join(cache, "zsl_test", "meta.json"))
+    main(base + ["--train", "False", "--decode_cache", cache,
+                 "--exp_name", "C2"])  # replays it
+    for exp in ("C1", "C2"):
+        got = _final_eval(os.path.join(folder, exp, "adaptive_0.25_0.5"))
+        for k in ["hit@1", "hit@2", "hit@5", "hit@10", "hit@20",
+                  "tor", "path_ratio", "point_ratio", "num_samples"]:
+            assert got[k] == online[k], (exp, k, got[k], online[k])
