@@ -286,7 +286,9 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
     opt = tx.init(params)
     step = make_flat_train_step(tm.clip_cfg, tx, dtype=tm.dtype)
     logger.log_config(config)
-    with AsyncCheckpointSaver() as saver:
+    from .utils.preempt import GracefulShutdown
+
+    with AsyncCheckpointSaver() as saver, GracefulShutdown() as shutdown:
         for epoch in range(config.from_epoch + 1, config.epochs):
             for i, (images, labels, valid) in enumerate(loader):
                 labels = np.asarray([seen_pos.get(int(l), 0) for l in labels])
@@ -296,6 +298,8 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
                 )
                 if i % config.print_freq == 0:
                     logger.log_train(epoch, i, len(loader), float(loss))
+                if shutdown.requested:
+                    break  # preemption: checkpoint below, then exit cleanly
             tm.params = params["clip"]
 
             class _S:  # minimal TrainState-shaped payload for the saver
@@ -307,6 +311,12 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
             s.step = jnp.asarray((epoch + 1) * len(loader), jnp.int32)
             saver.save(config.save_path, epoch, s)
             logger.log_text(f"Model saved. epoch={epoch}")
+            if shutdown.requested:
+                logger.log_text(
+                    f"preempted (SIGTERM): saved epoch={epoch}; continue "
+                    f"with --resume True --from_epoch {epoch}"
+                )
+                break
             if config.test_after_train:
                 run_test(config, tm, splits, logger)
     return params
@@ -456,8 +466,9 @@ def _epoch_loop(config, tm, splits, logger, tracer, state, step_fn, spmd_step,
     from .data import Prefetcher
     from .train import sched_to_device
     from .utils.checkpoint import AsyncCheckpointSaver
+    from .utils.preempt import GracefulShutdown
 
-    with AsyncCheckpointSaver() as saver:
+    with AsyncCheckpointSaver() as saver, GracefulShutdown() as shutdown:
         for epoch in range(config.from_epoch + 1, config.epochs):
             epoch_t0 = time.time()
             if config.sample_strategy in ("simi", "near_simi"):
@@ -467,6 +478,7 @@ def _epoch_loop(config, tm, splits, logger, tracer, state, step_fn, spmd_step,
                 sampler.set_class_feats(
                     np.asarray(bank[: tm.hier.num_nodes], np.float32)
                 )
+            steps_done = 0
             for i, (images, sched_host) in enumerate(
                 Prefetcher(_prefetch_steps, depth=2)
             ):
@@ -484,6 +496,12 @@ def _epoch_loop(config, tm, splits, logger, tracer, state, step_fn, spmd_step,
                 tracer.after(i, loss)
                 if i % config.print_freq == 0:
                     logger.log_train(epoch, i, steps_per_epoch, float(loss))
+                steps_done = i + 1
+                if shutdown.requested:
+                    # preemption (SIGTERM): stop at this step boundary; the
+                    # epoch bookkeeping + checkpoint below still run, then
+                    # the run exits cleanly for --resume (utils/preempt.py)
+                    break
             # drain the device queue by FETCHING a scalar — block_until_ready
             # does not reliably sync through the axon TPU tunnel (CLAUDE.md),
             # so epoch timing would over-report without this materialization
@@ -507,6 +525,13 @@ def _epoch_loop(config, tm, splits, logger, tracer, state, step_fn, spmd_step,
             # the donating train step cannot clobber them)
             saver.save(config.save_path, epoch, state)
             logger.log_text(f"Model saved. epoch={epoch}")
+            if shutdown.requested:
+                logger.log_text(
+                    f"preempted (SIGTERM): saved epoch={epoch} after "
+                    f"{steps_done}/{steps_per_epoch} steps; continue with "
+                    f"--resume True --from_epoch {epoch}"
+                )
+                break
             if config.test_after_train:
                 run_test(config, tm, splits, logger)
     return state

@@ -115,8 +115,15 @@ def _restore_host(path: str) -> Any:
 def restore_params(path: str) -> Any:
     """Restore only the params tree ({"clip": ..., "layer_weight": ...}) —
     the test/warm-start path (``--load`` / ``--fetch``), which needs no
-    optimizer structure. Device-agnostic (see ``_restore_host``)."""
-    return _restore_host(path)["params"]
+    optimizer structure. Device-agnostic (see ``_restore_host``), then
+    placed on the default backend: leaves must be jax arrays, not numpy —
+    consumers that close over params and index them with traced values
+    (e.g. the CoOp token-embedding gather inside the bank scan) would
+    otherwise hit TracerArrayConversionError."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, _restore_host(path)["params"])
 
 
 def restore_checkpoint(path: str, like: Any) -> Any:

@@ -46,13 +46,14 @@ def test_async_checkpoint_saver_roundtrip(tmp_path):
         saver.save(str(tmp_path), 0, s0)
         saver.save(str(tmp_path), 1, s1)  # waits for epoch-0's write first
 
-    # restore_params must come back as HOST arrays (device-agnostic: a
-    # TPU-written checkpoint restored in a CPU process replays no sharding)
+    # restore_params ignores saved shardings (device-agnostic: a TPU-written
+    # checkpoint restores in a CPU process) but must hand back JAX arrays on
+    # the default backend — numpy leaves break traced indexing downstream
     from hgr_tpu.utils.checkpoint import restore_params
 
     p = restore_params(str(tmp_path / "clip_1"))
-    assert type(p["w"]) is np.ndarray
-    np.testing.assert_array_equal(p["w"], np.asarray(s1.params["w"]))
+    assert isinstance(p["w"], jnp.ndarray) and not isinstance(p["w"], np.ndarray)
+    np.testing.assert_array_equal(np.asarray(p["w"]), np.asarray(s1.params["w"]))
 
     for epoch, want in ((0, s0), (1, s1)):
         got = restore_checkpoint(str(tmp_path / f"clip_{epoch}"), make(9))
