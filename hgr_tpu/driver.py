@@ -372,12 +372,23 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
     tx = make_optimizer(config, total_steps, extra_labels=extra_labels)
     state = init_train_state(tm.params, tm.layer_weight, tx,
                              extra_params=extra_params)
-    if config.resume and config.from_epoch >= 0:
-        from .utils.checkpoint import restore_checkpoint
+    if config.resume:
+        from .utils.checkpoint import latest_epoch, restore_checkpoint
 
-        ckpt = os.path.join(config.save_path, f"clip_{config.from_epoch}")
-        state = restore_checkpoint(ckpt, state)
-        logger.log_text(f"resumed full state from {ckpt} (step {int(state.step)})")
+        # --resume without --from_epoch picks the newest clip_{N}: a
+        # preempted/restarted worker re-runs its original command verbatim
+        # (utils/preempt.py pairs with this)
+        epoch = (config.from_epoch if config.from_epoch >= 0
+                 else latest_epoch(config.save_path))
+        if epoch is None:
+            logger.log_text("resume: no checkpoint found; starting fresh")
+        else:
+            ckpt = os.path.join(config.save_path, f"clip_{epoch}")
+            state = restore_checkpoint(ckpt, state)
+            config.from_epoch = epoch
+            logger.log_text(
+                f"resumed full state from {ckpt} (step {int(state.step)})"
+            )
     step_fn = make_train_step(config, tm.clip_cfg, tx, dtype=tm.dtype,
                               donate=config.donate, text_fn=text_fn)
 

@@ -61,10 +61,11 @@ def test_sigterm_checkpoints_and_resume_continues(tmp_path):
     run_dir = os.path.join(folder, "HGR", "adaptive_0.25_0.5")
     assert os.path.isdir(os.path.join(run_dir, "clip_0"))
 
-    # resume from the preemption checkpoint and finish a short epoch 1
+    # resume from the preemption checkpoint and finish a short epoch 1;
+    # no --from_epoch: --resume auto-picks the newest clip_{N}, so the
+    # restarted worker can re-run its original command verbatim
     r = subprocess.run(
-        base + ["--epochs", "2", "--n_episodes", "2", "--resume", "True",
-                "--from_epoch", "0"],
+        base + ["--epochs", "2", "--n_episodes", "2", "--resume", "True"],
         capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
         env=env,
     )
