@@ -64,6 +64,10 @@ class Config:
     # {decode_cache}/{split}; later runs replay rows at memcpy speed
     # (measured 61x less host CPU than JPEG decode — docs/SCALING.md)
     decode_cache: str = ""
+    # retain only the N newest clip_{epoch} checkpoints on disk (0 = keep
+    # every epoch, the reference behaviour); pruning is crash-safe — only
+    # committed checkpoints beyond the newest N are removed
+    keep_checkpoints: int = 0
     batch_size: int = 256
     test_batch_size: int = 512
     k_shots: int = -1

@@ -288,7 +288,8 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
     logger.log_config(config)
     from .utils.preempt import GracefulShutdown
 
-    with AsyncCheckpointSaver() as saver, GracefulShutdown() as shutdown:
+    with AsyncCheckpointSaver(keep=config.keep_checkpoints) as saver, \
+            GracefulShutdown() as shutdown:
         for epoch in range(config.from_epoch + 1, config.epochs):
             for i, (images, labels, valid) in enumerate(loader):
                 labels = np.asarray([seen_pos.get(int(l), 0) for l in labels])
@@ -479,7 +480,8 @@ def _epoch_loop(config, tm, splits, logger, tracer, state, step_fn, spmd_step,
     from .utils.checkpoint import AsyncCheckpointSaver
     from .utils.preempt import GracefulShutdown
 
-    with AsyncCheckpointSaver() as saver, GracefulShutdown() as shutdown:
+    with AsyncCheckpointSaver(keep=config.keep_checkpoints) as saver, \
+            GracefulShutdown() as shutdown:
         for epoch in range(config.from_epoch + 1, config.epochs):
             epoch_t0 = time.time()
             if config.sample_strategy in ("simi", "near_simi"):

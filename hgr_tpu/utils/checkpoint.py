@@ -57,15 +57,36 @@ class AsyncCheckpointSaver:
             for epoch in ...:
                 ...train...
                 saver.save(save_path, epoch, state)
+
+    Pass ``keep=N`` to retain only the N newest checkpoints on disk
+    (``--keep_checkpoints``; 0 keeps every epoch — the reference behaviour).
+    Pruning runs only over checkpoints already committed (after waiting for
+    the previous write), so a crash can never leave fewer than ``keep``
+    complete checkpoints behind.
     """
 
-    def __init__(self):
+    def __init__(self, keep: int = 0):
         import orbax.checkpoint as ocp
 
         self._ckptr = ocp.StandardCheckpointer()
+        self.keep = int(keep)
+
+    def _prune(self, save_path: str) -> None:
+        if self.keep <= 0 or not os.path.isdir(save_path):
+            return
+        import shutil
+
+        epochs = sorted(
+            int(n.split("_", 1)[1])
+            for n in os.listdir(save_path)
+            if n.startswith("clip_") and n.split("_", 1)[1].isdigit()
+        )
+        for e in epochs[: -self.keep]:
+            shutil.rmtree(_ckpt_dir(save_path, e), ignore_errors=True)
 
     def save(self, save_path: str, epoch: int, state: Any) -> str:
         self._ckptr.wait_until_finished()  # at most one outstanding write
+        self._prune(save_path)  # everything on disk is committed now
         path = _ckpt_dir(save_path, epoch)
         self._ckptr.save(
             path,
@@ -76,10 +97,13 @@ class AsyncCheckpointSaver:
             },
             force=True,
         )
+        self._last_path = save_path
         return path
 
     def close(self) -> None:
         self._ckptr.wait_until_finished()
+        if getattr(self, "_last_path", None):
+            self._prune(self._last_path)
 
     def __enter__(self):
         return self

@@ -43,6 +43,24 @@ def test_train_checkpoint_eval_roundtrip(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "adaptive.txt")
 
 
+def test_keep_checkpoints_retention(tmp_path, monkeypatch):
+    """--keep_checkpoints N prunes all but the N newest epoch checkpoints
+    through the driver's epoch loop (utils/checkpoint.AsyncCheckpointSaver)."""
+    monkeypatch.chdir(tmp_path)
+    from hgr_tpu.driver import main
+
+    folder = str(tmp_path / "runs")
+    main([
+        "--synthetic", "True", "--arch", "TEST-RN", "--dtype", "float32",
+        "--folder", folder, "--epochs", "3", "--batch_size", "2",
+        "--n_episodes", "2", "--num_compare", "4", "--lr", "1e-3",
+        "--keep_checkpoints", "1",
+    ])
+    save_path = os.path.join(folder, "HGR", "adaptive_0.25_0.5")
+    kept = sorted(n for n in os.listdir(save_path) if n.startswith("clip_"))
+    assert kept == ["clip_2"]
+
+
 def test_fetch_warm_start(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from hgr_tpu.driver import main

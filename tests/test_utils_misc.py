@@ -65,6 +65,20 @@ def test_async_checkpoint_saver_roundtrip(tmp_path):
         )
         assert int(got.step) == int(want.step)
 
+    # retention (--keep_checkpoints): only the N newest survive, and the
+    # survivors are fully committed/restorable
+    import os
+
+    keep_dir = tmp_path / "kept"
+    with AsyncCheckpointSaver(keep=2) as saver:
+        for e in range(4):
+            saver.save(str(keep_dir), e, make(e))
+    assert sorted(os.listdir(keep_dir)) == ["clip_2", "clip_3"]
+    got = restore_checkpoint(str(keep_dir / "clip_3"), make(9))
+    np.testing.assert_array_equal(
+        np.asarray(got.params["w"]), np.asarray(make(3).params["w"])
+    )
+
 
 def test_step_timer():
     from hgr_tpu.utils.profiling import StepTimer, annotate
