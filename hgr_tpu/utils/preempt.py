@@ -20,10 +20,9 @@ class GracefulShutdown:
     """Context manager that latches shutdown signals instead of dying.
 
     Inside the context, SIGTERM (by default) sets :attr:`requested`; loops
-    poll it at step boundaries. Previous handlers are restored on exit, and
-    if a signal WAS latched, exit re-raises it against the restored handler
-    (so a second Ctrl-C/SIGTERM semantics chain stays intact for callers
-    that installed their own).
+    poll it at step boundaries. Previous handlers are restored on exit, so
+    a signal arriving after the guarded region falls through to whatever
+    the caller had installed.
     """
 
     def __init__(self, signals: Iterable[int] = (signal.SIGTERM,)):
