@@ -74,6 +74,23 @@ def test_cached_loader_equals_file_loader(jpeg_tree, tmp_path):
         np.testing.assert_array_equal(a.images, b.images)
 
 
+def test_cached_train_loader_equals_file_loader(jpeg_tree, tmp_path):
+    from hgr_tpu.data.pipeline import GroupedTrainLoader
+
+    root, grouped = jpeg_tree
+    cache = str(tmp_path / "cache")
+    build_cache(grouped, cache, resolution=32, image_root=root)
+    ids = {c: i for i, c in enumerate(grouped)}
+    kw = dict(batch_size=4, n_episodes=6, seed=3, num_threads=2)
+    lf = GroupedTrainLoader(grouped, ids,
+                            FileImageSource(resolution=32, image_root=root),
+                            **kw)
+    lc = GroupedTrainLoader(grouped, ids, CachedImageSource(cache), **kw)
+    for a, b in zip(lf, lc):  # same seed -> same class/index draws
+        assert a.target == b.target
+        np.testing.assert_array_equal(a.images, b.images)
+
+
 def test_corrupt_fallback_baked_at_build(jpeg_tree, tmp_path):
     """A corrupt JPEG is substituted by the class's first image AT BUILD
     TIME (reference semantics, dataset/imagenet.py:149-152), so the cache
