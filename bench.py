@@ -478,16 +478,23 @@ def _run_with_watchdog() -> None:
     done = [s for s in order if s not in missing(out)]
     print(f"# combined pass ({note}): landed {done or 'nothing'}", flush=True)
 
-    if not done and left() > 200:
-        # landed NOTHING -> full-tunnel-hang signature, not a per-section
-        # cost problem; if the hang clears mid-budget a second combined
-        # pass captures everything, where a single-section retry wouldn't
-        res, note = _child(order, left() - 60.0)
-        if res:
-            out.update(res)
-        done = [s for s in order if s not in missing(out)]
-        print(f"# combined pass 2 ({note}): landed {done or 'nothing'}",
-              flush=True)
+    if not done:
+        # landed NOTHING -> full-tunnel-outage signature (hang, or instant
+        # FAILED_PRECONDITION failures while the server recovers), not a
+        # per-section cost problem. Wait for the tunnel to actually answer
+        # a probe again before spending the remaining budget — re-running
+        # into a still-broken tunnel burns the retry windows for nothing.
+        while left() > 180 and not _probe_tunnel():
+            print(f"# tunnel probe failed; waiting ({left():.0f}s budget "
+                  "left)", flush=True)
+            time.sleep(15)
+        if left() > 140:
+            res, note = _child(order, left() - 60.0)
+            if res:
+                out.update(res)
+            done = [s for s in order if s not in missing(out)]
+            print(f"# combined pass 2 ({note}): landed {done or 'nothing'}",
+                  flush=True)
 
     # per-section retries: cold compile+trace costs measured on an idle
     # host — eval ~90-150s, train ~190s (a 170s timeout dies BEFORE the

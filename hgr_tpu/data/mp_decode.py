@@ -29,22 +29,37 @@ import numpy as np
 
 
 def _worker_main(task_q, done_q, shm_name, shape, dtype_str,
-                 resolution, image_root, raw_uint8):
+                 resolution, image_root, raw_uint8, poll_s=30.0):
     """Worker loop: decode a row-slice of the batch into shared memory.
 
     Imports stay inside the worker so a forked child never touches jax.
     The corrupt-image fallback (reference ``dataset/imagenet.py:149-152``)
     lives inside ``FileImageSource.load`` and therefore applies here too.
+
+    Workers are spawn daemons, which survive a SIGKILLed parent (daemon
+    cleanup runs via atexit, which SIGKILL skips) — observed as orphaned
+    processes + leaked /dev/shm after a watchdog killed a bench child. So
+    the queue wait polls every ``poll_s`` and exits when the parent is
+    gone (``getppid`` reparented to init).
     """
+    import os
+    import queue as _queue
+
     from .pipeline import FileImageSource
 
     src = FileImageSource(resolution, image_root=image_root,
                           native=True, raw_uint8=raw_uint8)
     shm = shared_memory.SharedMemory(name=shm_name)
     buf = np.ndarray(shape, dtype=np.dtype(dtype_str), buffer=shm.buf)
+    ppid = os.getppid()
     try:
         while True:
-            task = task_q.get()
+            try:
+                task = task_q.get(timeout=poll_s)
+            except _queue.Empty:
+                if os.getppid() != ppid:
+                    break  # parent died without close(); don't linger
+                continue
             if task is None:
                 break
             row0, pairs = task                # per-row (path, fallback) pairs
@@ -78,6 +93,7 @@ class ProcessDecodePool:
         num_workers: int = 2,
         raw_uint8: bool = True,
         timeout_s: float = 300.0,
+        orphan_poll_s: float = 30.0,
     ):
         self.resolution = resolution
         self.batch_size = batch_size
@@ -99,7 +115,7 @@ class ProcessDecodePool:
                 target=_worker_main,
                 args=(self._task_q, self._done_q, self._shm.name,
                       self._shape, dtype.name,
-                      resolution, image_root, raw_uint8),
+                      resolution, image_root, raw_uint8, orphan_poll_s),
                 daemon=True,
             )
             for _ in range(self.num_workers)

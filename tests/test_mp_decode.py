@@ -96,6 +96,46 @@ def test_pool_worker_error_propagates(jpeg_tree):
         assert out.shape[0] == 2
 
 
+def test_workers_exit_when_parent_dies_uncleanly(jpeg_tree):
+    """A SIGKILLed/hard-exited parent skips close(); spawn DAEMON workers
+    survive that (atexit never runs) and used to linger holding /dev/shm.
+    Workers must notice the reparenting and exit on their own."""
+    import subprocess
+    import sys
+    import time
+
+    root, _ = jpeg_tree
+    code = f"""
+import os
+from hgr_tpu.data.mp_decode import ProcessDecodePool
+pool = ProcessDecodePool(32, batch_size=4, image_root={root!r},
+                         num_workers=1, orphan_poll_s=1.0)
+pool.decode("c0", ["c0/0.jpg"], [0])  # workers fully up
+print(" ".join(str(p.pid) for p in pool._procs), flush=True)
+os._exit(0)  # hard exit: no close(), no atexit
+"""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, env=dict(os.environ, PYTHONPATH=repo_root),
+    )
+    pids = [int(p) for p in out.stdout.split()]
+    assert pids, out.stderr[-500:]
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        alive = []
+        for pid in pids:
+            try:
+                os.kill(pid, 0)
+                alive.append(pid)
+            except ProcessLookupError:
+                pass
+        if not alive:
+            return
+        time.sleep(0.5)
+    raise AssertionError(f"orphaned decode workers still alive: {alive}")
+
+
 def test_grouped_test_loader_mp_equals_threads(jpeg_tree):
     root, grouped = jpeg_tree
     ids = {c: i for i, c in enumerate(grouped)}
