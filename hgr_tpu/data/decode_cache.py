@@ -59,7 +59,16 @@ def build_cache(
     Decoding goes through ``FileImageSource`` (native C++ fast path, PIL
     fallback, corrupt-image substitution) — the cache is bit-identical to
     what the online loader would have produced. ``num_procs > 0`` uses the
-    multi-process pool to build at many-core speed."""
+    multi-process pool to build at many-core speed.
+
+    The build is atomic: everything lands in a ``.building.<pid>`` sibling
+    that is renamed into place at the end, so readers never observe a
+    half-written cache (``meta.json`` is only visible once complete) and
+    two concurrent builders (e.g. multi-host on a shared filesystem)
+    cannot interleave writes — the loser's rename simply yields to the
+    winner's identical, already-complete cache."""
+    final_dir = out_dir
+    out_dir = f"{out_dir.rstrip(os.sep)}.building.{os.getpid()}"
     from .pipeline import FileImageSource, _maybe_mp_pool
 
     os.makedirs(out_dir, exist_ok=True)
@@ -106,7 +115,18 @@ def build_cache(
             {"resolution": resolution, "n_rows": n_rows, "classes": classes},
             f,
         )
-    return out_dir
+    try:
+        os.rename(out_dir, final_dir)
+    except OSError:
+        # a concurrent builder won the rename; its cache is identical
+        # (deterministic content) and complete — discard ours
+        if os.path.exists(os.path.join(final_dir, "meta.json")):
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+        else:
+            raise
+    return final_dir
 
 
 class CachedImageSource:

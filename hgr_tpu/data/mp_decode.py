@@ -58,7 +58,14 @@ def _worker_main(task_q, done_q, shm_name, shape, dtype_str,
                 task = task_q.get(timeout=poll_s)
             except _queue.Empty:
                 if os.getppid() != ppid:
-                    break  # parent died without close(); don't linger
+                    # parent died without close(): exit, and reclaim the
+                    # segment's name — the creator's resource tracker died
+                    # with it, so nobody else will unlink /dev/shm
+                    try:
+                        shm.unlink()
+                    except FileNotFoundError:
+                        pass
+                    break
                 continue
             if task is None:
                 break
