@@ -149,6 +149,81 @@ def evaluate_logit_model(
     return summarize(total)
 
 
+def evaluate_real_images(
+    logit_fn,
+    hier,
+    splits,
+    grouped,
+    proto_dim: int,
+    image_root: str = "",
+    featurizer=None,
+    feature_file=None,
+    batch: int = 64,
+    resolution: int = 256,
+    num_threads: int = 8,
+    num_procs: int = 0,
+):
+    """Stage-B evaluation on REAL images through the shared metric engine —
+    the reference's ``test_on_subset`` flow (``evaluate_imagenet.py:65-152``):
+    per-batch frozen-CNN featurization (``:84``), the bias ones-column
+    (``:85``), then hierarchical metrics. ``featurizer`` is a jitted
+    image->feature step (features.make_featurizer); ``feature_file``
+    short-circuits the CNN with precomputed per-class rows."""
+    import jax.numpy as jnp
+
+    from ..eval.metrics import accumulate, batch_metrics, summarize, zeros_metrics
+    from .features import with_bias_column
+
+    train_mask, test_mask, chains, chain_len = build_eval_tables(hier, splits)
+    node_depth = jnp.asarray(hier.depth.astype(np.int32))
+    train_mask = jnp.asarray(train_mask)
+    test_mask = jnp.asarray(test_mask)
+    total = zeros_metrics()
+
+    def _accumulate(total, feats, c, valid=None):
+        feats = with_bias_column(np.asarray(feats, np.float32), proto_dim)
+        logits = jnp.asarray(logit_fn(feats))
+        return accumulate(
+            total,
+            batch_metrics(
+                logits,
+                jnp.asarray(c),
+                jnp.asarray(chains[c]),
+                jnp.asarray(chain_len[c]),
+                node_depth,
+                train_mask,
+                test_mask,
+                valid=None if valid is None else jnp.asarray(valid),
+            ),
+        )
+
+    if feature_file is not None:
+        for cls in grouped:
+            c = hier.name_to_id[cls]
+            rows = feature_file.rows(cls)
+            for lo in range(0, rows.shape[0], batch):
+                total = _accumulate(total, rows[lo : lo + batch], c)
+        return summarize(total)
+
+    from ..data.pipeline import FileImageSource, GroupedTestLoader
+
+    loader = GroupedTestLoader(
+        grouped,
+        {c: hier.name_to_id[c] for c in grouped},
+        FileImageSource(resolution, image_root=image_root),
+        batch,
+        num_threads=num_threads,
+        num_procs=num_procs,
+    )
+    try:
+        for b in loader:
+            feats = featurizer(jnp.asarray(b.images))
+            total = _accumulate(total, feats, b.target, valid=b.valid)
+    finally:
+        loader.close()
+    return summarize(total)
+
+
 def run_cnzsl(args, hier, splits, attrs, protos):
     import jax
     import jax.numpy as jnp
@@ -382,6 +457,25 @@ def main(argv=None):
                     default=True, help=(
                         "False = the DGP scripts' ZSL protocol: suppress "
                         "seen-class logits to 1e-7 (materials.suppress_seen)"))
+    ap.add_argument("--image_root", default="", help=(
+        "evaluate on REAL images: root of the on-disk image tree; requires "
+        "--manifest + --cnn (the reference's evaluate_imagenet.py flow)"))
+    ap.add_argument("--manifest", default="", help=(
+        "grouped eval manifest json: wnid -> [relative image paths] "
+        "(the {split}_split.json format); classes outside splits['rest'] "
+        "are ignored"))
+    ap.add_argument("--cnn", default="", help=(
+        "frozen feature backbone: torch ResNet-50 checkpoint (.pt/.pth, the "
+        "reference's --cnn) or an orbax pytree dir (features.load_backbone)"))
+    ap.add_argument("--feature_file", default="", help=(
+        "precomputed per-class eval features (.npz wnid -> [n_i, D]; "
+        "producer tools/export_image_feats.py) — skips the CNN"))
+    ap.add_argument("--eval_resolution", type=int, default=256, help=(
+        "loader resolution for real-image eval (short-side resize + center "
+        "crop); the featurizer center-crops --eval_crop out of it"))
+    ap.add_argument("--eval_crop", type=int, default=224)
+    ap.add_argument("--num_threads", type=int, default=8)
+    ap.add_argument("--num_procs", type=int, default=0)
     ap.add_argument("--feat_dim", type=int, default=64)
     ap.add_argument("--attr_dim", type=int, default=32)
     ap.add_argument("--hid_dim", type=int, default=128)
@@ -463,10 +557,39 @@ def main(argv=None):
         def logit_fn(feats):  # noqa: F811 — deliberate wrap
             return suppress_seen(base_fn(feats), seen_mask)
 
-    summary = evaluate_logit_model(
-        logit_fn, hier, splits, protos, args.noise, args.eval_batch,
-        args.eval_batches_per_class, args.seed,
-    )
+    if args.image_root or args.feature_file:
+        # real-image stage-B evaluation (evaluate_imagenet.py:65-152)
+        from .features import FeatureFile, load_backbone, make_featurizer
+
+        if not args.manifest:
+            raise SystemExit("--image_root/--feature_file requires --manifest")
+        test_set = set(splits["rest"])
+        grouped = {
+            c: p for c, p in json.load(open(args.manifest)).items()
+            if c in test_set and p
+        }
+        featurizer = feature_file = None
+        if args.feature_file:
+            feature_file = FeatureFile(args.feature_file)
+        else:
+            if not args.cnn:
+                raise SystemExit("--image_root requires --cnn (or use "
+                                 "--feature_file)")
+            featurizer = make_featurizer(
+                load_backbone(args.cnn), crop=args.eval_crop
+            )
+        summary = evaluate_real_images(
+            logit_fn, hier, splits, grouped, proto_dim=protos.shape[1],
+            image_root=args.image_root, featurizer=featurizer,
+            feature_file=feature_file, batch=args.eval_batch,
+            resolution=args.eval_resolution, num_threads=args.num_threads,
+            num_procs=args.num_procs,
+        )
+    else:
+        summary = evaluate_logit_model(
+            logit_fn, hier, splits, protos, args.noise, args.eval_batch,
+            args.eval_batches_per_class, args.seed,
+        )
     from ..utils.logging import format_report
 
     print(format_report(summary), flush=True)

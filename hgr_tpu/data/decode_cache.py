@@ -82,6 +82,13 @@ def build_cache(
     )
     source = FileImageSource(resolution, image_root, raw_uint8=True)
     mp_pool = _maybe_mp_pool(source, num_procs, chunk)
+    pool = None
+    if mp_pool is None and num_threads > 1:
+        # thread fallback: the native C++ decode releases the GIL, so a
+        # thread pool still buys real parallelism for a num_procs=0 build
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(num_threads)
     class_ptr = [0]
     offsets = [0]
     try:
@@ -93,6 +100,9 @@ def build_cache(
                     idxs = list(range(lo, min(lo + chunk, len(paths))))
                     if mp_pool is not None:
                         rows = mp_pool.decode(cls, paths, idxs)
+                    elif pool is not None:
+                        rows = list(pool.map(
+                            lambda i: source.load(cls, paths, i), idxs))
                     else:
                         rows = [source.load(cls, paths, i) for i in idxs]
                     images[row : row + len(idxs)] = rows
@@ -105,6 +115,8 @@ def build_cache(
     finally:
         if mp_pool is not None:
             mp_pool.close()
+        if pool is not None:
+            pool.shutdown()
     images.flush()
     np.save(os.path.join(out_dir, "class_ptr.npy"),
             np.asarray(class_ptr, np.int64))
@@ -136,10 +148,18 @@ class CachedImageSource:
     into the OS page cache — batch assembly's row copy is the only memcpy.
     """
 
-    def __init__(self, cache_dir: str):
+    def __init__(self, cache_dir: str, expected_resolution: Optional[int] = None):
         with open(os.path.join(cache_dir, "meta.json")) as f:
             meta = json.load(f)
         self.resolution = int(meta["resolution"])
+        if (expected_resolution is not None
+                and self.resolution != int(expected_resolution)):
+            raise ValueError(
+                f"decode cache {cache_dir} was built at resolution "
+                f"{self.resolution} but this run needs {expected_resolution} "
+                f"(different arch input size) — rebuild the cache or point "
+                f"--decode_cache elsewhere"
+            )
         self.raw_uint8 = True  # caches always store uint8 (smallest H2D edge)
         n = int(meta["n_rows"])
         self._images = np.lib.format.open_memmap(
@@ -200,7 +220,7 @@ def open_or_build(
               f"({sum(len(p) for p in grouped.values())} images)", flush=True)
         build_cache(grouped, cache_dir, resolution,
                     image_root=image_root, num_procs=num_procs)
-    return CachedImageSource(cache_dir)
+    return CachedImageSource(cache_dir, expected_resolution=resolution)
 
 
 def _main(argv: Optional[List[str]] = None) -> None:

@@ -160,6 +160,11 @@ class ProcessDecodePool:
                 break
             self._task_q.put(make_task(lo, hi))
             n_tasks += 1
+        # Collect ALL n_tasks acks before raising on any error: leaving the
+        # surviving workers' 'ok' acks queued would let the NEXT decode()
+        # on this pool consume stale acks and return rows its own workers
+        # hadn't finished writing.
+        errors = []
         for _ in range(n_tasks):
             try:
                 ack = self._done_q.get(timeout=self.timeout_s)
@@ -168,9 +173,12 @@ class ProcessDecodePool:
                     f"decode worker timed out after {self.timeout_s}s"
                 ) from None
             if ack[0] == "err":
-                raise RuntimeError(f"decode worker failed: {ack[1]}")
+                errors.append(ack[1])
+                continue
             self.images_decoded += ack[1]
             self.cpu_seconds += ack[2]
+        if errors:
+            raise RuntimeError(f"decode worker failed: {'; '.join(errors)}")
         return self._buf[:k].copy()
 
     @property

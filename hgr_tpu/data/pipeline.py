@@ -282,6 +282,15 @@ class GroupedTrainLoader:
         if self.mp_pool is not None:
             self.mp_pool.close()
 
+    def skip_next(self, k: int) -> None:
+        """Advance the NEXT ``__iter__`` by ``k`` episodes without decoding
+        a single image: the class-order and per-class index streams move
+        exactly as if the batches had been served. Mid-epoch resume uses
+        this to re-enter a preempted epoch at the saved step instead of
+        dropping the epoch's remaining data (utils/preempt.py pairs with
+        the driver's ``--resume``)."""
+        self._pending_skip = max(0, int(k))
+
     def _make_batch(self, cls: str) -> GroupBatch:
         paths = self.grouped[cls]
         idxs = self._next_indices(cls)
@@ -303,9 +312,14 @@ class GroupedTrainLoader:
 
     def __iter__(self) -> Iterator[GroupBatch]:
         class_iter = self._episode_classes()
+        skip = getattr(self, "_pending_skip", 0)
+        self._pending_skip = 0
+        for _ in range(skip):  # advance streams, no decode (skip_next)
+            self._next_indices(next(class_iter))
+        remaining = self.n_episodes - skip
 
         def gen():
-            for _ in range(self.n_episodes):
+            for _ in range(remaining):
                 yield self._make_batch(next(class_iter))
 
         return iter(Prefetcher(gen, depth=self._prefetch))

@@ -14,6 +14,12 @@ import numpy as np
 CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
+# torchvision ImageNet statistics — the DGP/CNZSL/FREE baselines' frozen
+# ResNet-50 was trained with these (reference
+# ``baseline/DGP/train_resnet_fit.py:32-33``), NOT the CLIP constants
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
 
 def preprocess_pil(img, n_px: int) -> np.ndarray:
     """PIL image -> [n_px, n_px, 3] float32, CLIP-normalized."""

@@ -83,8 +83,13 @@ class AsyncCheckpointSaver:
         )
         for e in epochs[: -self.keep]:
             shutil.rmtree(_ckpt_dir(save_path, e), ignore_errors=True)
+            try:
+                os.remove(_ckpt_dir(save_path, e) + ".meta.json")
+            except FileNotFoundError:
+                pass
 
-    def save(self, save_path: str, epoch: int, state: Any) -> str:
+    def save(self, save_path: str, epoch: int, state: Any,
+             meta: Optional[dict] = None) -> str:
         self._ckptr.wait_until_finished()  # at most one outstanding write
         self._prune(save_path)  # everything on disk is committed now
         path = _ckpt_dir(save_path, epoch)
@@ -97,6 +102,14 @@ class AsyncCheckpointSaver:
             },
             force=True,
         )
+        if meta is not None:
+            # sidecar for mid-epoch resume ({steps_done, steps_per_epoch});
+            # written synchronously — it is tiny, and must never describe a
+            # checkpoint that has not started writing
+            import json
+
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
         self._last_path = save_path
         return path
 
@@ -167,6 +180,18 @@ def restore_checkpoint(path: str, like: Any) -> Any:
         opt_state=restored["opt_state"],
         step=restored["step"],
     )
+
+
+def read_ckpt_meta(save_path: str, epoch: int) -> Optional[dict]:
+    """The ``clip_{epoch}.meta.json`` sidecar ({steps_done, steps_per_epoch})
+    written by :class:`AsyncCheckpointSaver`, or None (older checkpoints)."""
+    import json
+
+    try:
+        with open(_ckpt_dir(save_path, epoch) + ".meta.json") as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
 
 
 def latest_epoch(save_path: str) -> Optional[int]:

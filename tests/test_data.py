@@ -66,6 +66,27 @@ def test_train_loader_covers_all_images_of_large_class():
     assert sorted(seen) == sorted(g["c"])
 
 
+def test_train_loader_skip_next_matches_serving():
+    """skip_next(k) must advance the class-order and per-class index streams
+    exactly as if k batches had been served: skipping then reading yields
+    the SAME batches as serving everything and dropping the first k
+    (mid-epoch resume contract, driver --resume)."""
+    g = _grouped()
+    kw = dict(batch_size=4, n_episodes=8, seed=3, num_threads=1)
+    ref = GroupedTrainLoader(g, CLASS_IDS, SyntheticImageSource(8), **kw)
+    full = list(ref)
+    skipped = GroupedTrainLoader(g, CLASS_IDS, SyntheticImageSource(8), **kw)
+    skipped.skip_next(3)
+    rest = list(skipped)
+    assert len(rest) == len(full) - 3
+    for a, b in zip(full[3:], rest):
+        assert a.target == b.target
+        assert a.paths == b.paths
+        np.testing.assert_array_equal(a.valid, b.valid)
+    # one-shot: the next epoch is full-length again
+    assert len(list(skipped)) == skipped.n_episodes
+
+
 def test_test_loader_deterministic_and_complete():
     g = _grouped()
     loader = GroupedTestLoader(

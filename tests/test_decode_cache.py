@@ -140,6 +140,36 @@ def test_open_or_build_builds_then_reopens(jpeg_tree, tmp_path, capsys):
     )
 
 
+def test_resolution_mismatch_fails_loudly(jpeg_tree, tmp_path):
+    """A cache built at 32 reopened for an arch that needs 48 must raise a
+    clear rebuild error, not feed wrong-sized rows that surface later as a
+    confusing positional-embedding shape failure."""
+    root, grouped = jpeg_tree
+    cache = str(tmp_path / "cache")
+    build_cache(grouped, cache, resolution=32, image_root=root)
+    with pytest.raises(ValueError, match="built at resolution 32"):
+        open_or_build(cache, grouped, 48, image_root=root)
+    with pytest.raises(ValueError, match="rebuild"):
+        CachedImageSource(cache, expected_resolution=48)
+    # matching resolution still opens
+    assert CachedImageSource(cache, expected_resolution=32).resolution == 32
+
+
+def test_build_thread_fallback_matches_serial(jpeg_tree, tmp_path):
+    """num_procs=0 builds decode through a thread pool (num_threads) — the
+    output must be bit-identical to a fully serial build."""
+    root, grouped = jpeg_tree
+    c1 = str(tmp_path / "serial")
+    c2 = str(tmp_path / "threaded")
+    build_cache(grouped, c1, resolution=32, image_root=root, num_threads=1)
+    build_cache(grouped, c2, resolution=32, image_root=root, num_threads=4)
+    a, b = CachedImageSource(c1), CachedImageSource(c2)
+    for cls, paths in grouped.items():
+        for i in range(len(paths)):
+            np.testing.assert_array_equal(
+                a.load(cls, paths, i), b.load(cls, paths, i))
+
+
 def test_cli_build(jpeg_tree, tmp_path):
     from hgr_tpu.data.decode_cache import _main
 

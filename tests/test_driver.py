@@ -57,8 +57,13 @@ def test_keep_checkpoints_retention(tmp_path, monkeypatch):
         "--keep_checkpoints", "1",
     ])
     save_path = os.path.join(folder, "HGR", "adaptive_0.25_0.5")
-    kept = sorted(n for n in os.listdir(save_path) if n.startswith("clip_"))
+    names = os.listdir(save_path)
+    kept = sorted(n for n in names
+                  if n.startswith("clip_") and not n.endswith(".meta.json"))
     assert kept == ["clip_2"]
+    # pruned checkpoints must take their resume sidecars with them
+    metas = sorted(n for n in names if n.endswith(".meta.json"))
+    assert metas == ["clip_2.meta.json"]
 
 
 def test_fetch_warm_start(tmp_path, monkeypatch):

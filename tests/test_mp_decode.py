@@ -96,6 +96,32 @@ def test_pool_worker_error_propagates(jpeg_tree):
         assert out.shape[0] == 2
 
 
+def test_pool_partial_failure_drains_acks(jpeg_tree):
+    """One failing slice in a MULTI-worker batch must not leave the
+    surviving workers' 'ok' acks queued: the next decode() would consume
+    the stale acks and return rows its own workers hadn't written yet.
+    All acks are drained before the error is raised."""
+    root, grouped = jpeg_tree
+    src = FileImageSource(resolution=32, image_root=root)
+    with ProcessDecodePool(32, batch_size=4, image_root=root,
+                           num_workers=2) as pool:
+        # 2 rows across 2 workers: slice 0 fails (no path, no fallback),
+        # slice 1 succeeds — one 'err' ack + one 'ok' ack
+        pairs = [("cX/none.jpg", "cX/other.jpg"),
+                 (grouped["c1"][2], grouped["c1"][0])]
+        with pytest.raises(RuntimeError, match="decode worker failed"):
+            pool.decode_pairs(pairs)
+        # the NEXT batch on the same pool must be freshly decoded, not
+        # buffer contents released by the previous batch's stale acks
+        idxs = [4, 1, 3]
+        want = np.stack([src.load("c2", grouped["c2"], i) for i in idxs])
+        np.testing.assert_array_equal(
+            pool.decode("c2", grouped["c2"], idxs), want)
+        # accounting includes the failed batch's surviving slice (1 image
+        # really was decoded and its CPU spent) + the 3 fresh rows
+        assert pool.images_decoded == 1 + len(idxs)
+
+
 def test_workers_exit_when_parent_dies_uncleanly(jpeg_tree):
     """A SIGKILLed/hard-exited parent skips close(); spawn DAEMON workers
     survive that (atexit never runs) and used to linger holding /dev/shm.

@@ -24,6 +24,59 @@ def test_graceful_shutdown_latch_and_restore():
 
 
 @pytest.mark.slow
+def test_mid_epoch_resume_reenters_epoch(tmp_path):
+    """A run preempted mid-epoch and resumed with the SAME geometry must
+    re-enter the interrupted epoch at the saved step (clip_{N}.meta.json
+    sidecar) instead of silently dropping the epoch's remaining steps."""
+    folder = str(tmp_path / "runs")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from hgr_tpu.driver import main; import sys; main(sys.argv[1:])"
+    )
+    base = [
+        sys.executable, "-c", code,
+        "--synthetic", "True", "--arch", "TEST-RN", "--dtype", "float32",
+        "--remat", "False", "--folder", folder, "--batch_size", "2",
+        "--num_compare", "4", "--lr", "1e-3", "--print_freq", "1",
+        "--epochs", "1", "--n_episodes", "300",
+    ]
+    proc = subprocess.Popen(
+        base, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=str(tmp_path), env=env,
+    )
+    deadline = time.time() + 300
+    saw_loss = False
+    while time.time() < deadline:
+        if "loss:" in proc.stdout.readline():
+            saw_loss = True
+            break
+    assert saw_loss, "training never reached a step"
+    proc.send_signal(signal.SIGTERM)
+    out = proc.communicate(timeout=300)[0]
+    assert proc.returncode == 0, out[-2000:]
+
+    run_dir = os.path.join(folder, "HGR", "adaptive_0.25_0.5")
+    import json
+    meta = json.load(open(os.path.join(run_dir, "clip_0.meta.json")))
+    assert meta["steps_per_epoch"] == 300
+    assert 0 < meta["steps_done"] < 300
+
+    # resume with the original command verbatim: must RE-ENTER epoch 0 at
+    # the saved step and complete the remaining steps
+    r = subprocess.run(
+        base + ["--resume", "True"], capture_output=True, text=True,
+        timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    log = open(os.path.join(run_dir, "arguments.log")).read()
+    assert "re-entering epoch 0 at step" in log
+    meta2 = json.load(open(os.path.join(run_dir, "clip_0.meta.json")))
+    assert meta2["steps_done"] == 300  # epoch completed, no dropped steps
+
+
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_resume_continues(tmp_path):
     folder = str(tmp_path / "runs")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
