@@ -1,4 +1,4 @@
-from .tree import Hierarchy, synthetic_hierarchy, ROOT, PAD
+from .tree import Hierarchy, profiled_hierarchy, synthetic_hierarchy, ROOT, PAD
 from .builder import (
     edges_from_structure_xml,
     edges_from_wordnet,
@@ -10,6 +10,7 @@ from .builder import (
 
 __all__ = [
     "Hierarchy",
+    "profiled_hierarchy",
     "synthetic_hierarchy",
     "ROOT",
     "PAD",

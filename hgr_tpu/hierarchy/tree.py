@@ -235,6 +235,44 @@ class Hierarchy:
         return cls.from_edges([tuple(e) for e in edges], root=root)
 
 
+def profiled_hierarchy(
+    level_sizes: Sequence[int],
+    seed: int = 0,
+    cross_edges: int = 0,
+    root: str = ROOT,
+) -> Hierarchy:
+    """Synthetic DAG with a PRESCRIBED per-depth node count.
+
+    Used to reproduce the reference deployment's class geometry — 18,278
+    nodes over 13 uneven levels (supp Table 1/3; pinned counts at
+    ``data/train_test_split_backup.py:86-89``) — so sharded-eval equality
+    can be proven where shard boundaries split levels mid-way. Each node at
+    depth d draws a random parent at depth d-1; ``cross_edges`` adds
+    multi-parent links (one level down) like real WordNet.
+    """
+    rng = np.random.default_rng(seed)
+    edges: List[Tuple[str, str]] = []
+    prev = [root]
+    by_level: List[List[str]] = []
+    counter = 0
+    for size in level_sizes:
+        cur: List[str] = []
+        for _ in range(int(size)):
+            name = f"n{counter:08d}"
+            counter += 1
+            edges.append((prev[int(rng.integers(len(prev)))], name))
+            cur.append(name)
+        by_level.append(cur)
+        prev = cur
+    for _ in range(cross_edges):
+        lvl = int(rng.integers(0, len(by_level) - 1))
+        u = by_level[lvl][int(rng.integers(len(by_level[lvl])))]
+        v = by_level[lvl + 1][int(rng.integers(len(by_level[lvl + 1])))]
+        if (u, v) not in edges:
+            edges.append((u, v))
+    return Hierarchy.from_edges(edges, root=root)
+
+
 def synthetic_hierarchy(
     branching: int = 3,
     levels: int = 4,
