@@ -137,3 +137,86 @@ def test_reference_near_simi_is_dead_code_as_written():
     parents = hier.chain_with_self(t)
     with pytest.raises((TypeError, ValueError)):
         get_contra(self_ns, "near_simi", t, 2, depth=1, parents=parents)
+
+
+def test_vectorized_similarity_matches_naive_ranking():
+    """The cached argpartition path (sampling._top_by_similarity) must pick
+    the SAME ids as the naive semantics it replaced: build the candidate
+    pool, drop ancestors/children, full-argsort by similarity to the
+    target, truncate to num_compare (reference clip_tree.py:93-113 simi /
+    :144-178 near_simi)."""
+    hier = synthetic_hierarchy(branching=3, levels=4, extra_edges=6, seed=1)
+    n = hier.num_nodes
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((n, 32)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    sampler = NegativeSampler(
+        hier, np.arange(n), num_compare=7, k=1, seed=0, class_feats=feats
+    )
+
+    for target in [0, n // 3, n - 1, int(hier.level(hier.max_depth)[2])]:
+        parents = hier.chain_with_self(target)
+        depth = len(parents) - 1
+        excl = set(parents) | set(hier.children(target))
+
+        # simi: pool = all train classes minus excl
+        ids, lab = sampler.sample("simi", target, depth, parents)
+        pool = [c for c in range(n) if c not in excl]
+        sims = feats[pool] @ feats[target]
+        want = [pool[i] for i in np.argsort(-sims, kind="stable")][:7]
+        got = [i for i in ids if i != target]
+        assert got == want, f"simi ranking mismatch at target {target}"
+        assert ids[lab] == target
+
+        # near_simi: pool = k-window levels minus excl
+        low, high = max(0, depth - 1), min(hier.max_depth, depth + 1)
+        cand = []
+        for d in range(low, high + 1):
+            cand.extend(hier.level(d))
+        pool = [c for c in cand if c not in excl]
+        sims = feats[pool] @ feats[target]
+        want = [pool[i] for i in np.argsort(-sims, kind="stable")][:7]
+        ids, lab = sampler.sample("near_simi", target, depth, parents)
+        got = [i for i in ids if i != target]
+        assert got == want, f"near_simi ranking mismatch at target {target}"
+
+
+@pytest.mark.slow
+def test_schedule_build_cost_bound_at_reference_scale():
+    """Regression bound for VERDICT r3 #5: every sampling strategy's
+    ScheduleBuilder.build must stay far below the measured 309 ms OM train
+    step at the reference geometry (18,278 classes, [N, 1024] simi bank,
+    num_compare=256), so the prefetch thread hides schedule construction.
+    Measured on this host: simi 8.3 ms, near_simi 9.5 ms, others <2 ms
+    (docs/SCALING.md table); the bound is ~10x headroom, loose enough for
+    CI noise but far below the naive per-pair cost this replaced
+    (simi 260 ms/schedule)."""
+    import time
+
+    from hgr_tpu.hierarchy import profiled_hierarchy
+    from hgr_tpu.train.sampling import STRATEGIES, ScheduleBuilder
+
+    hier = profiled_hierarchy(
+        [10, 800, 4000, 5000, 4000, 2500, 1000, 500, 250, 120, 60, 30, 8],
+        seed=0, cross_edges=40,
+    )
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((hier.num_nodes, 1024)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    targets = [int(t) for t in hier.level(6)[:32]]
+
+    for strat in STRATEGIES:
+        sampler = NegativeSampler(
+            hier, np.arange(hier.num_nodes), 256, seed=0, class_feats=feats
+        )
+        builder = ScheduleBuilder(hier, sampler, 0.25, 0.5, 256,
+                                  strategy=strat)
+        builder.build(targets[0])  # warm numpy/BLAS
+        t0 = time.time()
+        for t in targets:
+            builder.build(t)
+        per = (time.time() - t0) / len(targets) * 1e3
+        assert per < 100.0, (
+            f"{strat} schedule build {per:.1f} ms/schedule at reference "
+            "scale — no longer hideable behind the train step"
+        )
