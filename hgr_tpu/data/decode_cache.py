@@ -53,13 +53,16 @@ def build_cache(
     num_procs: int = 0,
     num_threads: int = 8,
     chunk: int = 512,
+    source=None,
 ) -> str:
     """Decode every image of ``grouped`` ({cls: [paths]}) into ``out_dir``.
 
     Decoding goes through ``FileImageSource`` (native C++ fast path, PIL
     fallback, corrupt-image substitution) — the cache is bit-identical to
     what the online loader would have produced. ``num_procs > 0`` uses the
-    multi-process pool to build at many-core speed.
+    multi-process pool to build at many-core speed. ``source`` overrides
+    the image source (any ``ImageSource`` with matching resolution — e.g.
+    synthetic rows for format-level stress tests, or a custom reader).
 
     The build is atomic: everything lands in a ``.building.<pid>`` sibling
     that is renamed into place at the end, so readers never observe a
@@ -80,7 +83,8 @@ def build_cache(
         dtype=np.uint8,
         shape=(n_rows, resolution, resolution, 3),
     )
-    source = FileImageSource(resolution, image_root, raw_uint8=True)
+    if source is None:
+        source = FileImageSource(resolution, image_root, raw_uint8=True)
     mp_pool = _maybe_mp_pool(source, num_procs, chunk)
     pool = None
     if mp_pool is None and num_threads > 1:
