@@ -15,6 +15,11 @@ Sections, all at reference scale (RN50, 18,278-class bank padded to 18,432):
 - **train** — the jitted OM training step (batch 256, num_compare 256,
   remat on — reference defaults ``main.py:37,48-59``; hot loop
   ``model/clip_tree.py:241-280``).
+- **calib** — big bf16 GEMM TFLOP/s, emitted in every artifact so headline
+  drift across rounds is attributable to tunnel health vs a regression.
+- **trainsweep** (optional) — OM step at batch 512/1024: the measured
+  batch-amortization curve behind the per-schedule text-encode claim.
+- **coop** (optional) — OM+CoOp training rate (BASELINE.json config 4).
 
 Prints ONE JSON line (the driver contract): the headline metric is the
 device eval rate vs the 2k imgs/sec/chip north star; other sections are
@@ -39,7 +44,8 @@ import time
 
 import numpy as np
 
-SECTIONS = ("eval", "vit", "pipeline", "train")
+SECTIONS = ("calib", "eval", "vit", "pipeline", "train", "trainsweep",
+            "coop")
 BATCH = 512
 N_CLASSES_PAD = 18432  # 18,278 padded
 # NOTE on compilation caching (measured, do not re-try the client cache):
@@ -126,6 +132,30 @@ def _eval_rate(tm, hier, batch: int = BATCH, iters: int = 20) -> float:
     # is not trustworthy through remote tunnels
     np.asarray(m.num)
     return batch * iters / (time.perf_counter() - t0)
+
+
+def sec_calib(out: dict) -> None:
+    """Big bf16 GEMM TFLOP/s — a device/tunnel health yardstick emitted in
+    every artifact so a headline drop across rounds can be attributed to
+    tunnel weather vs a real eval-step regression from the JSON alone
+    (VERDICT r3 weak-item 3). Stable phases measure ~148 TFLOP/s on v5e;
+    a degraded tunnel shows up here exactly as it does in the eval rate."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8192
+    a = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda x: x @ x)
+    jax.block_until_ready(f(a))  # compile
+    iters = 10
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(iters):
+        r = f(a)
+    np.asarray(r[0, 0])  # honest sync through the tunnel
+    dt = time.perf_counter() - t0
+    out["calib_tflops"] = round(2 * n**3 * iters / dt / 1e12, 1)
+    print(f"# calib: big bf16 GEMM {out['calib_tflops']} TFLOP/s", flush=True)
 
 
 def sec_eval(out: dict) -> None:
@@ -269,7 +299,12 @@ def sec_pipeline(out: dict) -> None:
           f"{out['e2e_cached_eval_imgs_per_sec']} imgs/s", flush=True)
 
 
-def sec_train(out: dict) -> None:
+def _train_rate(batch: int, iters: int = 10, coop: bool = False):
+    """OM train-step (imgs_per_sec, step_ms) at ``batch`` (num_compare 256,
+    remat on — reference defaults). ``coop=True`` trains the CoOp context
+    through the OM loss instead (the reference's clip_coop variant,
+    ``model/clip_coop.py`` / ``model/CoOp.py:31-162``)."""
+    import jax
     import jax.numpy as jnp
 
     from hgr_tpu.config import Config
@@ -287,47 +322,84 @@ def sec_train(out: dict) -> None:
     res = tm.clip_cfg.image_resolution
     target = int(hier.level(hier.max_depth)[0])
 
-    import jax
-
-    tcfg = Config(arch="RN50", num_compare=256, batch_size=256, remat=True)
-    tx = make_optimizer(tcfg, total_steps=100)
+    tcfg = Config(arch="RN50", num_compare=256, batch_size=batch, remat=True,
+                  coop=coop)
+    text_fn = None
+    extra_params = None
+    extra_labels = None
+    if coop:
+        static, ctx = tm.coop_setup(tcfg.seed)
+        text_fn = tm.coop_text_fn(static)
+        extra_params = {"coop_ctx": ctx}
+        # reference default coop_train="ctx": CLIP weights frozen, only the
+        # learned context trains (driver.py run_train wiring)
+        extra_labels = {"clip": "frozen", "coop_ctx": "clip"}
+    tx = make_optimizer(tcfg, total_steps=100, extra_labels=extra_labels)
     # COPY the params into the train state: the production step donates its
     # state buffers (donate=True), which would invalidate tm.params and
     # crash any later section reusing them ("TPU backend error
     # (InvalidArgument)" at the pipeline section's first device call —
     # observed twice before this copy)
     state = init_train_state(
-        jax.tree.map(jnp.copy, tm.params), tm.layer_weight, tx
+        jax.tree.map(jnp.copy, tm.params), tm.layer_weight, tx,
+        extra_params=extra_params,
     )
-    step_fn = make_train_step(tcfg, tm.clip_cfg, tx, dtype=jnp.bfloat16)
+    step_fn = make_train_step(tcfg, tm.clip_cfg, tx, dtype=jnp.bfloat16,
+                              text_fn=text_fn)
 
     sampler = NegativeSampler(
-        hier, np.arange(hier.num_nodes), tcfg.num_compare, seed=0
+        hier, np.arange(hier.num_nodes), tcfg.num_compare, seed=0,
+        topk_window="both" if coop else "below",
     )
     builder = ScheduleBuilder(
         hier, sampler, tcfg.out_ratio, tcfg.in_ratio, tcfg.num_compare
     )
     sched = sched_to_device(builder.build(target))
     timages = jnp.asarray(
-        rng.standard_normal((tcfg.batch_size, res, res, 3)).astype(np.float32)
+        rng.standard_normal((batch, res, res, 3)).astype(np.float32)
     )
     node_tokens = jnp.asarray(tm.node_tokens)
     state, loss = step_fn(state, timages, node_tokens, sched)  # compile
     float(loss)
 
-    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step_fn(state, timages, node_tokens, sched)
     float(loss)  # fetch to sync honestly
     dt = time.perf_counter() - t0
-    out["train_imgs_per_sec"] = round(tcfg.batch_size * iters / dt, 1)
-    out["train_step_ms"] = round(dt / iters * 1000, 1)
-    out["train_batch"] = tcfg.batch_size
-    out["num_compare"] = tcfg.num_compare
+    return round(batch * iters / dt, 1), round(dt / iters * 1000, 1)
+
+
+def sec_train(out: dict) -> None:
+    rate, step_ms = _train_rate(batch=256)
+    out["train_imgs_per_sec"] = rate
+    out["train_step_ms"] = step_ms
+    out["train_batch"] = 256
+    out["num_compare"] = 256
     out["remat"] = True
-    print(f"# train step: {out['train_step_ms']} ms, "
-          f"{out['train_imgs_per_sec']} imgs/s", flush=True)
+    print(f"# train step: {step_ms} ms, {rate} imgs/s", flush=True)
+
+
+def sec_trainsweep(out: dict) -> None:
+    """OM batch-amortization curve (VERDICT r3 #3): the schedule's text
+    encode is per-schedule, so larger image batches amortize it — these are
+    the measured rates behind that claim (reference-default batch stays 256
+    for parity; hot loop ``model/clip_tree.py:241-280``)."""
+    for b in (512, 1024):
+        rate, step_ms = _train_rate(batch=b)
+        out[f"train_imgs_per_sec_b{b}"] = rate
+        out[f"train_step_ms_b{b}"] = step_ms
+        print(f"# train step b{b}: {step_ms} ms, {rate} imgs/s", flush=True)
+        print("#partial " + json.dumps(out), flush=True)
+
+
+def sec_coop(out: dict) -> None:
+    """OM+CoOp training rate (BASELINE.json config 4 — the last measured
+    config; VERDICT r3 #8)."""
+    rate, step_ms = _train_rate(batch=256, coop=True)
+    out["coop_train_imgs_per_sec"] = rate
+    out["coop_train_step_ms"] = step_ms
+    print(f"# coop train step: {step_ms} ms, {rate} imgs/s", flush=True)
 
 
 def _emit(out: dict) -> None:
@@ -358,8 +430,9 @@ def main(sections=None) -> None:
         if s
     ]
     out: dict = {}
-    fns = {"eval": sec_eval, "vit": sec_vit, "pipeline": sec_pipeline,
-           "train": sec_train}
+    fns = {"calib": sec_calib, "eval": sec_eval, "vit": sec_vit,
+           "pipeline": sec_pipeline, "train": sec_train,
+           "trainsweep": sec_trainsweep, "coop": sec_coop}
     for s in sections:
         try:
             fns[s](out)
@@ -463,15 +536,30 @@ def _run_with_watchdog() -> None:
     # server's compile cache when the first pass got that far). Remote
     # compiles vary ~2x and the tunnel hangs strike at random — partial
     # results are expected, not exceptional.
-    need = {"eval": "eval_imgs_per_sec", "train": "train_imgs_per_sec",
+    need = {"calib": "calib_tflops", "eval": "eval_imgs_per_sec",
+            "train": "train_imgs_per_sec",
             "vit": "vit_b32_eval_imgs_per_sec",
-            "pipeline": "e2e_eval_imgs_per_sec"}
-    order = ["eval", "train", "vit", "pipeline"]
+            "pipeline": "e2e_eval_imgs_per_sec",
+            "trainsweep": "train_imgs_per_sec_b512",
+            "coop": "coop_train_imgs_per_sec"}
+    # calib first (cheap, doubles as a health yardstick); the big-compile
+    # extras (batch sweep, coop) run LAST so a timeout costs only them
+    order = ["calib", "eval", "train", "vit", "pipeline", "trainsweep",
+             "coop"]
+    # optional sections are never worth burning the core sections' retry
+    # budget on: they retry only with leftover time
+    optional = {"trainsweep", "coop"}
+    attempts = {s: 0 for s in order}
+
+    def bump(sections):
+        for s in sections:
+            attempts[s] += 1
 
     def missing(d):
         return [s for s in order if need[s] not in d]
 
     out: dict = {}
+    bump(order)
     res, note = _child(order, max(min(left() - 60.0, 460.0), 120.0))
     if res:
         out.update(res)
@@ -489,6 +577,7 @@ def _run_with_watchdog() -> None:
                   "left)", flush=True)
             time.sleep(15)
         if left() > 140:
+            bump(order)
             res, note = _child(order, left() - 60.0)
             if res:
                 out.update(res)
@@ -499,12 +588,18 @@ def _run_with_watchdog() -> None:
     # per-section retries: cold compile+trace costs measured on an idle
     # host — eval ~90-150s, train ~190s (a 170s timeout dies BEFORE the
     # compile finishes, which is exactly the r02 failure), vit/pipeline
-    # ~110s. Warm server cache brings each to well under a minute.
-    retry_t = {"eval": 150, "train": 210, "vit": 110, "pipeline": 150}
-    for s in missing(out):
-        if left() < 45:
+    # ~110s. Warm server cache brings each to well under a minute. Core
+    # sections first; optional ones only with leftover budget.
+    retry_t = {"calib": 60, "eval": 150, "train": 210, "vit": 110,
+               "pipeline": 150, "trainsweep": 240, "coop": 210}
+    core_miss = [s for s in missing(out) if s not in optional]
+    opt_miss = [s for s in missing(out) if s in optional]
+    for s in core_miss + opt_miss:
+        reserve = 45 if s not in optional else 120
+        if left() < reserve:
             print(f"# skipping retry of {s}: budget exhausted", flush=True)
             continue
+        bump([s])
         res, note = _child([s], min(retry_t[s], max(left() - 10, 30)))
         if res:
             out.update(res)
@@ -521,9 +616,11 @@ def _run_with_watchdog() -> None:
     while out.get("eval_imgs_per_sec", 1e9) < 4000 and left() > 130:
         print(f"# headline {out['eval_imgs_per_sec']} imgs/s looks "
               "tunnel-degraded; re-measuring", flush=True)
+        bump(["eval"])
         res, note = _child(["eval"], min(250, left() - 10))
         if res and res.get("eval_imgs_per_sec", 0) > out["eval_imgs_per_sec"]:
             out["eval_imgs_per_sec"] = res["eval_imgs_per_sec"]
+    out["section_attempts"] = attempts
     _emit(dict(out))
 
 
