@@ -224,14 +224,38 @@ def evaluate_real_images(
     return summarize(total)
 
 
-def run_cnzsl(args, hier, splits, attrs, protos):
+class TrainFeatureBank:
+    """Real seen-class training features from a FeatureFile — the
+    reference's regime, where CNZSL/FREE train on precomputed frozen-CNN
+    feature matrices (``baseline/CNZSL/cnzsl.py`` feature loading,
+    ``train_free.py:246-247``) rather than fabricated prototypes+noise."""
+
+    def __init__(self, feature_file, hier, seen_wnids):
+        self.rows = []          # [n_seen] arrays [n_i, D]
+        for w in seen_wnids:
+            self.rows.append(feature_file.rows(w))
+        self.dim = self.rows[0].shape[1]
+
+    def sample(self, seen_positions, rng) -> np.ndarray:
+        """One random stored row per requested seen-class position."""
+        return np.stack([
+            self.rows[p][int(rng.integers(self.rows[p].shape[0]))]
+            for p in seen_positions
+        ])
+
+    def all_rows(self) -> np.ndarray:
+        return np.concatenate(self.rows, axis=0)
+
+
+def run_cnzsl(args, hier, splits, attrs, protos, train_bank=None):
     import jax
     import jax.numpy as jnp
     import optax
 
     from .cnzsl import CNZSLConfig, cnzsl_init, cnzsl_logits, make_cnzsl_train_step
 
-    cfg = CNZSLConfig(attr_dim=attrs.shape[1], proto_dim=protos.shape[1],
+    proto_dim = train_bank.dim if train_bank is not None else protos.shape[1]
+    cfg = CNZSLConfig(attr_dim=attrs.shape[1], proto_dim=proto_dim,
                       hid_dim=args.hid_dim)
     params, state = cnzsl_init(jax.random.PRNGKey(args.seed), cfg)
     tx = optax.adam(args.lr)
@@ -243,10 +267,13 @@ def run_cnzsl(args, hier, splits, attrs, protos):
     rng = np.random.default_rng(args.seed)
     for i in range(args.steps):
         labels = rng.integers(0, len(seen_ids), args.batch)
-        feats = np.stack([
-            sample_feats(protos, int(seen_ids[l]), 1, args.noise, rng)[0]
-            for l in labels
-        ])
+        if train_bank is not None:
+            feats = train_bank.sample(labels, rng)
+        else:
+            feats = np.stack([
+                sample_feats(protos, int(seen_ids[l]), 1, args.noise, rng)[0]
+                for l in labels
+            ])
         params, state, opt, loss = step(
             params, state, opt, jnp.asarray(feats), seen_attrs,
             jnp.asarray(labels),
@@ -336,7 +363,7 @@ def run_gcn(args, hier, splits, attrs, protos):
     return logit_fn
 
 
-def run_free(args, hier, splits, attrs, protos):
+def run_free(args, hier, splits, attrs, protos, train_bank=None):
     import jax
     import jax.numpy as jnp
 
@@ -350,10 +377,21 @@ def run_free(args, hier, splits, attrs, protos):
     )
 
     seen_ids = hier.ids(splits["train"])
+    # features live in [0,1] for the sigmoid generator: the reference
+    # MinMaxScales the REAL feature matrix (classifier.py); with a real
+    # training bank the scaler comes from it, else from the prototypes
+    if train_bank is not None:
+        allr = train_bank.all_rows()
+        fmin, fmax = float(allr.min()), float(allr.max())
+        res_size = train_bank.dim
+    else:
+        fmin, fmax = float(protos.min()), float(protos.max())
+        res_size = protos.shape[1]
+    span = max(fmax - fmin, 1e-12)
     cfg = FREEConfig(
-        res_size=protos.shape[1], att_size=attrs.shape[1],
-        latent_size=attrs.shape[1], ngh=4 * protos.shape[1],
-        ndh=4 * protos.shape[1], nclass_seen=len(seen_ids),
+        res_size=res_size, att_size=attrs.shape[1],
+        latent_size=attrs.shape[1], ngh=4 * res_size,
+        ndh=4 * res_size, nclass_seen=len(seen_ids),
         center_margin=20.0, syn_num=args.syn_num,
     )
     params = free_init(jax.random.PRNGKey(args.seed), cfg)
@@ -362,21 +400,24 @@ def run_free(args, hier, splits, attrs, protos):
     key = jax.random.PRNGKey(args.seed + 1)
     rng = np.random.default_rng(args.seed)
 
-    # features live in [0,1] for the sigmoid generator (reference preprocesses
-    # with MinMaxScaler in classifier.py); shift prototypes accordingly
-    protos01 = (protos - protos.min()) / (protos.max() - protos.min())
+    protos01 = (protos - fmin) / span
 
     lambda1 = cfg.lambda1
     for i in range(args.steps):
         labels = rng.integers(0, len(seen_ids), args.batch)
-        feats = np.stack([
-            np.clip(
-                protos01[seen_ids[l]]
-                + args.noise * rng.standard_normal(protos.shape[1]),
-                0, 1,
-            )
-            for l in labels
-        ]).astype(np.float32)
+        if train_bank is not None:
+            feats = np.clip(
+                (train_bank.sample(labels, rng) - fmin) / span, 0, 1
+            ).astype(np.float32)
+        else:
+            feats = np.stack([
+                np.clip(
+                    protos01[seen_ids[l]]
+                    + args.noise * rng.standard_normal(res_size),
+                    0, 1,
+                )
+                for l in labels
+            ]).astype(np.float32)
         att = jnp.asarray(attrs[seen_ids[labels]])
         featj = jnp.asarray(feats)
         labj = jnp.asarray(labels)
@@ -421,9 +462,7 @@ def run_free(args, hier, splits, attrs, protos):
 
     def logit_fn(feats):
         # evaluation features go through the same 0-1 mapping as training
-        f01 = np.clip(
-            (feats - protos.min()) / (protos.max() - protos.min()), 0, 1
-        )
+        f01 = np.clip((feats - fmin) / span, 0, 1)
         return jnp.asarray(f01) @ clf["w"] + clf["b"]
 
     return logit_fn
@@ -470,6 +509,10 @@ def main(argv=None):
     ap.add_argument("--feature_file", default="", help=(
         "precomputed per-class eval features (.npz wnid -> [n_i, D]; "
         "producer tools/export_image_feats.py) — skips the CNN"))
+    ap.add_argument("--train_feature_file", default="", help=(
+        "precomputed SEEN-class features for cnzsl/free TRAINING (same .npz "
+        "format) — the reference regime, where both train on real frozen-CNN "
+        "feature matrices; requires real eval inputs too"))
     ap.add_argument("--eval_resolution", type=int, default=256, help=(
         "loader resolution for real-image eval (short-side resize + center "
         "crop); the featurizer center-crops --eval_crop out of it"))
@@ -542,8 +585,26 @@ def main(argv=None):
         from .materials import tr_word_vectors
 
         attrs = tr_word_vectors(attrs)
+    train_bank = None
+    if args.train_feature_file:
+        if args.baseline not in ("cnzsl", "free"):
+            raise SystemExit("--train_feature_file applies to cnzsl/free "
+                             "(gcn regresses to prototypes, not features)")
+        if not (args.image_root or args.feature_file):
+            raise SystemExit("--train_feature_file trains in the real "
+                             "feature space; evaluation needs real inputs "
+                             "too (--image_root/--feature_file)")
+        from .features import FeatureFile
+
+        train_bank = TrainFeatureBank(
+            FeatureFile(args.train_feature_file), hier, splits["train"]
+        )
     runner = {"cnzsl": run_cnzsl, "gcn": run_gcn, "free": run_free}[args.baseline]
-    logit_fn = runner(args, hier, splits, attrs, protos)
+    if args.baseline in ("cnzsl", "free"):
+        logit_fn = runner(args, hier, splits, attrs, protos,
+                          train_bank=train_bank)
+    else:
+        logit_fn = runner(args, hier, splits, attrs, protos)
     if not args.consider_trains:
         # the DGP scripts' ZSL protocol (their default): seen-class columns
         # suppressed to a REACHABLE 1e-7, not excluded (evaluate_21kp.py:
@@ -578,8 +639,12 @@ def main(argv=None):
             featurizer = make_featurizer(
                 load_backbone(args.cnn), crop=args.eval_crop
             )
+        # the bias ones-column decision keys off the LOGIT model's input
+        # width: GCN classifiers live in proto space (possibly D+1, DGP's
+        # 2049), cnzsl/free trained on a real bank take its raw feature dim
+        logit_dim = train_bank.dim if train_bank is not None else protos.shape[1]
         summary = evaluate_real_images(
-            logit_fn, hier, splits, grouped, proto_dim=protos.shape[1],
+            logit_fn, hier, splits, grouped, proto_dim=logit_dim,
             image_root=args.image_root, featurizer=featurizer,
             feature_file=feature_file, batch=args.eval_batch,
             resolution=args.eval_resolution, num_threads=args.num_threads,

@@ -177,15 +177,21 @@ def real_image_problem(tmp_path_factory):
     feats_fn = make_featurizer(params, crop=224)  # crop > 64 -> no-op
     src = FileImageSource(64, image_root=str(img_root))
     protos = []
+    rows_by_cls = {}
     for cls in hier.names:
         ims = np.stack([
             src.load(cls, grouped_all[cls], i) for i in range(per_class)
         ])
-        protos.append(np.asarray(feats_fn(ims)).mean(axis=0))
+        rows = np.asarray(feats_fn(ims), np.float32)
+        rows_by_cls[cls] = rows
+        protos.append(rows.mean(axis=0))
     protos_path = root / "protos.npy"
     np.save(protos_path, np.stack(protos).astype(np.float32))
+    features_all = root / "features_all.npz"
+    np.savez(features_all, **rows_by_cls)
 
     return {
+        "features_all": str(features_all),
         "graph_path": str(graph_path),
         "split_path": str(split_path),
         "image_root": str(img_root),
@@ -265,6 +271,46 @@ def test_cnzsl_real_feature_eval(real_image_problem):
     s = main(_real_args(p, baseline="cnzsl") + ["--feature_file", ff])
     assert s["num_samples"] == p["n_test_images"]
     assert np.isfinite(s["hit@1"])
+
+
+def test_cnzsl_trains_on_real_feature_bank(real_image_problem):
+    """--train_feature_file: CNZSL trained on REAL stored seen-class
+    features (the reference regime) and evaluated on real features through
+    the shared engine — attr->feature mapping must beat 21-way chance."""
+    p = real_image_problem
+    s = main(_real_args(p, baseline="cnzsl") + [
+        "--feature_file", p["features_all"],
+        "--train_feature_file", p["features_all"],
+        "--steps", "150",
+    ])
+    assert s["num_samples"] == p["n_test_images"]
+    assert s["hit@1"] > 100.0 / 21.0
+
+    # guard rails: gcn rejects it; real eval inputs are required
+    with pytest.raises(SystemExit):
+        main(_real_args(p, baseline="gcn") + [
+            "--variant", "basic",
+            "--train_feature_file", p["features_all"],
+            "--feature_file", p["features_all"],
+        ])
+    with pytest.raises(SystemExit):
+        main(_real_args(p, baseline="cnzsl") + [
+            "--train_feature_file", p["features_all"],
+        ])
+
+
+def test_free_trains_on_real_feature_bank(real_image_problem):
+    """FREE's WGAN/VAE stage fed by real stored features, scaler from the
+    training bank (the reference MinMaxScales real features)."""
+    p = real_image_problem
+    s = main(_real_args(p, baseline="free") + [
+        "--feature_file", p["features_all"],
+        "--train_feature_file", p["features_all"],
+        "--steps", "6", "--syn_num", "8",
+    ])
+    assert s["num_samples"] == p["n_test_images"]
+    for k in ("hit@1", "tor", "path_ratio", "point_ratio"):
+        assert np.isfinite(s[k])
 
 
 def test_gcn_save_path_roundtrips_pred_artifacts(tmp_path):
