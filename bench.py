@@ -540,7 +540,10 @@ def _run_with_watchdog() -> None:
             "train": "train_imgs_per_sec",
             "vit": "vit_b32_eval_imgs_per_sec",
             "pipeline": "e2e_eval_imgs_per_sec",
-            "trainsweep": "train_imgs_per_sec_b512",
+            # keyed on the LAST point of the sweep: a child killed between
+            # b512 and b1024 must re-run (b512's compile is warm by then),
+            # not silently ship a truncated curve
+            "trainsweep": "train_imgs_per_sec_b1024",
             "coop": "coop_train_imgs_per_sec"}
     # calib first (cheap, doubles as a health yardstick); the big-compile
     # extras (batch sweep, coop) run LAST so a timeout costs only them

@@ -230,8 +230,8 @@ class TrainFeatureBank:
     feature matrices (``baseline/CNZSL/cnzsl.py`` feature loading,
     ``train_free.py:246-247``) rather than fabricated prototypes+noise."""
 
-    def __init__(self, feature_file, hier, seen_wnids):
-        self.rows = []          # [n_seen] arrays [n_i, D]
+    def __init__(self, feature_file, seen_wnids):
+        self.rows = []          # [n_seen] arrays [n_i, D], splits['train'] order
         for w in seen_wnids:
             self.rows.append(feature_file.rows(w))
         self.dim = self.rows[0].shape[1]
@@ -388,6 +388,7 @@ def run_free(args, hier, splits, attrs, protos, train_bank=None):
         fmin, fmax = float(protos.min()), float(protos.max())
         res_size = protos.shape[1]
     span = max(fmax - fmin, 1e-12)
+    protos01 = None if train_bank is not None else (protos - fmin) / span
     cfg = FREEConfig(
         res_size=res_size, att_size=attrs.shape[1],
         latent_size=attrs.shape[1], ngh=4 * res_size,
@@ -399,8 +400,6 @@ def run_free(args, hier, splits, attrs, protos, train_bank=None):
     optD, optFR, optC, optEG = init_opts(params)
     key = jax.random.PRNGKey(args.seed + 1)
     rng = np.random.default_rng(args.seed)
-
-    protos01 = (protos - fmin) / span
 
     lambda1 = cfg.lambda1
     for i in range(args.steps):
@@ -597,7 +596,7 @@ def main(argv=None):
         from .features import FeatureFile
 
         train_bank = TrainFeatureBank(
-            FeatureFile(args.train_feature_file), hier, splits["train"]
+            FeatureFile(args.train_feature_file), splits["train"]
         )
     runner = {"cnzsl": run_cnzsl, "gcn": run_gcn, "free": run_free}[args.baseline]
     if args.baseline in ("cnzsl", "free"):
@@ -625,10 +624,16 @@ def main(argv=None):
         if not args.manifest:
             raise SystemExit("--image_root/--feature_file requires --manifest")
         test_set = set(splits["rest"])
+        manifest = json.load(open(args.manifest))
         grouped = {
-            c: p for c, p in json.load(open(args.manifest)).items()
-            if c in test_set and p
+            c: p for c, p in manifest.items() if c in test_set and p
         }
+        if not grouped:
+            raise SystemExit(
+                f"--manifest {args.manifest}: none of its {len(manifest)} "
+                f"classes are in splits['rest'] ({len(test_set)} wnids) — "
+                "wrong manifest for this split?"
+            )
         featurizer = feature_file = None
         if args.feature_file:
             feature_file = FeatureFile(args.feature_file)
@@ -643,6 +648,14 @@ def main(argv=None):
         # width: GCN classifiers live in proto space (possibly D+1, DGP's
         # 2049), cnzsl/free trained on a real bank take its raw feature dim
         logit_dim = train_bank.dim if train_bank is not None else protos.shape[1]
+        feat_dim = feature_file.dim if feature_file is not None else 2048
+        if logit_dim not in (feat_dim, feat_dim + 1):
+            raise SystemExit(
+                f"real-image eval produces {feat_dim}-d features but the "
+                f"{args.baseline} model expects {logit_dim}-d inputs — "
+                "train in the real feature space (--protos_path from a real "
+                "backbone for gcn; --train_feature_file for cnzsl/free)"
+            )
         summary = evaluate_real_images(
             logit_fn, hier, splits, grouped, proto_dim=logit_dim,
             image_root=args.image_root, featurizer=featurizer,

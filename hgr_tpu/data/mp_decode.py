@@ -130,6 +130,7 @@ class ProcessDecodePool:
         for p in self._procs:
             p.start()
         self._closed = False
+        self._broken = False  # set on ack timeout; see _run
         # per-image CPU accounting (for the cores-per-chip budget)
         self.cpu_seconds = 0.0
         self.images_decoded = 0
@@ -148,6 +149,12 @@ class ProcessDecodePool:
         )
 
     def _run(self, k: int, make_task) -> np.ndarray:
+        if self._broken:
+            raise RuntimeError(
+                "decode pool unusable after an ack timeout: a slow worker's "
+                "late ack would be mis-attributed to this batch and return "
+                "rows it never wrote — close() and build a new pool"
+            )
         if k == 0:
             return np.empty((0,) + self._shape[1:], self._buf.dtype)
         if k > self.batch_size:
@@ -169,8 +176,13 @@ class ProcessDecodePool:
             try:
                 ack = self._done_q.get(timeout=self.timeout_s)
             except queue_mod.Empty:
+                # unlike the error path (which drains all acks), a timeout
+                # leaves an unknown number of acks in flight — poison the
+                # pool so reuse fails loudly instead of corrupting batches
+                self._broken = True
                 raise RuntimeError(
-                    f"decode worker timed out after {self.timeout_s}s"
+                    f"decode worker timed out after {self.timeout_s}s "
+                    "(pool marked unusable; create a new pool)"
                 ) from None
             if ack[0] == "err":
                 errors.append(ack[1])

@@ -195,6 +195,7 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._error: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(gen_fn,), daemon=True
         )
@@ -203,11 +204,32 @@ class Prefetcher:
     def _run(self, gen_fn):
         try:
             for item in gen_fn():
-                self._q.put(item)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — must cross the thread
             self._error = e
         finally:
             self._q.put(self._done)
+
+    def stop(self, join_timeout: float = 30.0) -> None:
+        """Stop the producer thread and wait for it to exit. Needed before
+        tearing down resources the generator still uses (e.g. a process
+        decode pool): a consumer that breaks out of the loop early leaves
+        the thread mid-produce, and closing the pool under it would strand
+        it in a long IPC wait."""
+        self._stop.set()
+        while True:  # unblock a producer stuck on a full queue
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=join_timeout)
 
     def __iter__(self):
         while True:
@@ -249,6 +271,8 @@ class GroupedTrainLoader:
         self.n_episodes = (
             n_episodes if n_episodes > 0 else self.num_data // batch_size + 1
         )
+        self._seed = seed
+        self._epoch = 0
         self.rng = np.random.default_rng(seed)
         self.classes = list(self.grouped.keys())
         self._cursors: Dict[str, List[int]] = {}
@@ -279,16 +303,35 @@ class GroupedTrainLoader:
                 yield self.classes[int(g)]
 
     def close(self) -> None:
+        p = getattr(self, "_live_prefetcher", None)
+        if p is not None:
+            p.stop()  # before the pool: a live producer mid-decode would
+            self._live_prefetcher = None  # strand on a closed pool's IPC
         if self.mp_pool is not None:
             self.mp_pool.close()
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the NEXT ``__iter__``'s streams to ``epoch``: the episode
+        class order and per-class index streams are derived from
+        ``(seed, epoch)`` alone, so epoch e's batch sequence is identical
+        across loader instances and process restarts. This is what makes
+        mid-epoch resume exact (``skip_next`` on a fresh process skips
+        precisely the episodes the preempted process already trained), and
+        it mirrors the reference's per-epoch DataLoader reshuffle
+        (``dataset/imagenet_group.py:105`` — each epoch's iterator
+        reshuffles independently). Without a call, epochs auto-advance
+        0, 1, 2, ... per ``__iter__``."""
+        self._epoch = int(epoch)
 
     def skip_next(self, k: int) -> None:
         """Advance the NEXT ``__iter__`` by ``k`` episodes without decoding
         a single image: the class-order and per-class index streams move
-        exactly as if the batches had been served. Mid-epoch resume uses
-        this to re-enter a preempted epoch at the saved step instead of
-        dropping the epoch's remaining data (utils/preempt.py pairs with
-        the driver's ``--resume``)."""
+        exactly as if the batches had been served. With ``set_epoch``'s
+        per-epoch deterministic streams, a fresh process skips EXACTLY the
+        episodes the preempted process already trained. Mid-epoch resume
+        uses this to re-enter a preempted epoch at the saved step instead
+        of dropping the epoch's remaining data (utils/preempt.py pairs
+        with the driver's ``--resume``)."""
         self._pending_skip = max(0, int(k))
 
     def _make_batch(self, cls: str) -> GroupBatch:
@@ -311,6 +354,11 @@ class GroupedTrainLoader:
         return self.n_episodes
 
     def __iter__(self) -> Iterator[GroupBatch]:
+        # per-epoch deterministic streams (see set_epoch): reseed and reset
+        # the per-class cursors so epoch e is a pure function of (seed, e)
+        self.rng = np.random.default_rng([self._seed, self._epoch])
+        self._cursors = {}
+        self._epoch += 1
         class_iter = self._episode_classes()
         skip = getattr(self, "_pending_skip", 0)
         self._pending_skip = 0
@@ -322,7 +370,9 @@ class GroupedTrainLoader:
             for _ in range(remaining):
                 yield self._make_batch(next(class_iter))
 
-        return iter(Prefetcher(gen, depth=self._prefetch))
+        p = Prefetcher(gen, depth=self._prefetch)
+        self._live_prefetcher = p
+        return iter(p)
 
 
 class FlatTrainLoader:
@@ -362,6 +412,10 @@ class FlatTrainLoader:
         return self.num_batches
 
     def close(self) -> None:
+        p = getattr(self, "_live_prefetcher", None)
+        if p is not None:
+            p.stop()
+            self._live_prefetcher = None
         if self.mp_pool is not None:
             self.mp_pool.close()
 
@@ -396,7 +450,9 @@ class FlatTrainLoader:
                     valid[j] = True
                 yield out, labels, valid
 
-        return iter(Prefetcher(gen, depth=self._prefetch))
+        p = Prefetcher(gen, depth=self._prefetch)
+        self._live_prefetcher = p
+        return iter(p)
 
 
 class GroupedTestLoader:
@@ -429,6 +485,12 @@ class GroupedTestLoader:
         return self.num_batches
 
     def close(self) -> None:
+        p = getattr(self, "_live_prefetcher", None)
+        if p is not None:
+            # an early-exiting consumer (max_test_batches, exceptions)
+            # leaves the producer mid-decode; stop it before the pool goes
+            p.stop()
+            self._live_prefetcher = None
         if self.mp_pool is not None:
             self.mp_pool.close()
 
@@ -455,4 +517,6 @@ class GroupedTestLoader:
                         paths=[paths[i] for i in idxs],
                     )
 
-        return iter(Prefetcher(gen, depth=self._prefetch))
+        p = Prefetcher(gen, depth=self._prefetch)
+        self._live_prefetcher = p
+        return iter(p)

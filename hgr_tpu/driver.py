@@ -149,19 +149,6 @@ def _grouped_split(config: Config, split: str, candidates, splits) -> Dict[str, 
     return grouped
 
 
-class _closing:
-    """try/finally loader.close() as a context manager (stack-friendly)."""
-
-    def __init__(self, loader):
-        self._loader = loader
-
-    def __enter__(self):
-        return self._loader
-
-    def __exit__(self, *exc):
-        self._loader.close()
-
-
 def run_test(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Dict[str, float]:
     """Zero-shot evaluation (reference ``test()``, ``main.py:104-222``)."""
     import jax
@@ -307,10 +294,12 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
     opt = tx.init(params)
     step = make_flat_train_step(tm.clip_cfg, tx, dtype=tm.dtype)
     logger.log_config(config)
+    from contextlib import closing
+
     from .utils.preempt import GracefulShutdown
 
     with AsyncCheckpointSaver(keep=config.keep_checkpoints) as saver, \
-            GracefulShutdown() as shutdown, _closing(loader):
+            GracefulShutdown() as shutdown, closing(loader):
         for epoch in range(config.from_epoch + 1, config.epochs):
             for i, (images, labels, valid) in enumerate(loader):
                 labels = np.asarray([seen_pos.get(int(l), 0) for l in labels])
@@ -533,6 +522,12 @@ def _epoch_loop(config, tm, splits, logger, tracer, state, step_fn, spmd_step,
             GracefulShutdown() as shutdown:
         for epoch in range(config.from_epoch + 1, config.epochs):
             epoch_t0 = time.time()
+            # pin the loader's streams to the ABSOLUTE epoch: with
+            # (seed, epoch)-derived streams, a restarted process re-enters
+            # a preempted epoch on the exact batch sequence the original
+            # served (pipeline.set_epoch + skip_next)
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
             if config.sample_strategy in ("simi", "near_simi"):
                 # refresh the similarity-ranking bank once per epoch (the
                 # reference re-encodes per step inside no_grad; sampling.py)

@@ -193,3 +193,52 @@ def test_prefetcher_order_and_error_propagation():
 
     with _pytest.raises(RuntimeError, match="producer thread failed"):
         next(it)
+
+
+def test_train_loader_epoch_streams_reproducible_across_instances():
+    """set_epoch(e) pins epoch e's batch sequence to (seed, e) alone —
+    identical across loader instances and process restarts. This is the
+    property that makes mid-epoch resume EXACT for any epoch, not just the
+    first (a resumed process's fresh loader must skip precisely the
+    episodes the preempted process served)."""
+    g = _grouped()
+    kw = dict(batch_size=4, n_episodes=6, seed=3, num_threads=1)
+    a = GroupedTrainLoader(g, CLASS_IDS, SyntheticImageSource(8), **kw)
+    # instance A runs epochs 0..2 continuously
+    epochs_a = [list(a) for _ in range(3)]
+    # instance B jumps straight to epoch 2
+    b = GroupedTrainLoader(g, CLASS_IDS, SyntheticImageSource(8), **kw)
+    b.set_epoch(2)
+    for x, y in zip(epochs_a[2], list(b)):
+        assert x.target == y.target and x.paths == y.paths
+    # distinct epochs produce distinct streams (no frozen permutation)
+    assert any(
+        x.paths != y.paths for x, y in zip(epochs_a[0], epochs_a[1])
+    ) or any(
+        x.target != y.target for x, y in zip(epochs_a[0], epochs_a[1])
+    )
+    # mid-epoch resume at epoch 2: fresh instance, skip k, get the tail
+    c = GroupedTrainLoader(g, CLASS_IDS, SyntheticImageSource(8), **kw)
+    c.set_epoch(2)
+    c.skip_next(2)
+    for x, y in zip(epochs_a[2][2:], list(c)):
+        assert x.target == y.target and x.paths == y.paths
+
+
+def test_test_loader_close_stops_live_prefetcher():
+    """Breaking out of the eval loop early (max_test_batches) leaves the
+    prefetch thread mid-produce; close() must stop it before tearing down
+    decode resources (driver run_test's finally)."""
+    g = {f"c{i}": [f"c{i}/{j}.jpg" for j in range(6)] for i in range(4)}
+    ids = {c: i for i, c in enumerate(g)}
+    loader = GroupedTestLoader(
+        g, ids, SyntheticImageSource(4), batch_size=2, num_threads=1,
+        prefetch=1,
+    )
+    it = iter(loader)
+    next(it)  # consume one batch, then abandon the iterator
+    p = loader._live_prefetcher
+    assert p is not None
+    loader.close()
+    assert loader._live_prefetcher is None
+    assert not p._thread.is_alive()

@@ -213,3 +213,21 @@ def test_flat_loader_mp_equals_threads(jpeg_tree):
             np.testing.assert_array_equal(ia, ib)
     finally:
         lm.close()
+
+
+def test_pool_refuses_reuse_after_timeout_poisoning():
+    """An ack timeout leaves unknown in-flight acks; the pool must refuse
+    further decodes loudly (late acks would be mis-attributed to the next
+    batch and return rows its workers never wrote)."""
+    import pytest
+
+    from hgr_tpu.data.mp_decode import ProcessDecodePool
+
+    pool = ProcessDecodePool(8, 4, num_workers=1)
+    try:
+        pool._broken = True  # what the Empty-timeout path sets
+        with pytest.raises(RuntimeError, match="unusable"):
+            pool.decode("c", ["a.jpg"], [0])
+    finally:
+        pool._broken = False
+        pool.close()
