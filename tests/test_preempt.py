@@ -41,6 +41,9 @@ def test_mid_epoch_resume_reenters_epoch(tmp_path):
         "--remat", "False", "--folder", folder, "--batch_size", "2",
         "--num_compare", "4", "--lr", "1e-3", "--print_freq", "1",
         "--epochs", "1", "--n_episodes", "300",
+        # conftest's XLA_FLAGS leak 8 virtual devices into the child; pin
+        # the single-replica layout so steps_per_epoch is the episode count
+        "--mesh_data", "1",
     ]
     proc = subprocess.Popen(
         base, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
