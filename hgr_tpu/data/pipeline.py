@@ -215,7 +215,19 @@ class Prefetcher:
         except BaseException as e:  # noqa: BLE001 — must cross the thread
             self._error = e
         finally:
-            self._q.put(self._done)
+            # never block forever here: after stop() drains the queue the
+            # producer may have refilled it, and a plain put(_done) on a
+            # full queue would deadlock the join in stop()
+            while True:
+                try:
+                    self._q.put(self._done, timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        try:
+                            self._q.get_nowait()
+                        except queue.Empty:
+                            pass
 
     def stop(self, join_timeout: float = 30.0) -> None:
         """Stop the producer thread and wait for it to exit. Needed before
@@ -400,6 +412,8 @@ class FlatTrainLoader:
                 self.items.append((cls, i, class_ids[cls]))
         self.batch_size = batch_size
         self.source = source
+        self._seed = seed
+        self._epoch = 0
         self.rng = np.random.default_rng(seed)
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
         self.mp_pool = _maybe_mp_pool(source, num_procs, batch_size)
@@ -431,7 +445,14 @@ class FlatTrainLoader:
             )
         )
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the NEXT ``__iter__``'s shuffle to ``(seed, epoch)`` —
+        same restart-deterministic contract as GroupedTrainLoader."""
+        self._epoch = int(epoch)
+
     def __iter__(self):
+        self.rng = np.random.default_rng([self._seed, self._epoch])
+        self._epoch += 1
         order = self.rng.permutation(len(self.items))
 
         def gen():

@@ -301,6 +301,7 @@ def run_train_flat(config: Config, tm: TreeModel, splits, logger: RunLogger) -> 
     with AsyncCheckpointSaver(keep=config.keep_checkpoints) as saver, \
             GracefulShutdown() as shutdown, closing(loader):
         for epoch in range(config.from_epoch + 1, config.epochs):
+            loader.set_epoch(epoch)  # restart-deterministic shuffles
             for i, (images, labels, valid) in enumerate(loader):
                 labels = np.asarray([seen_pos.get(int(l), 0) for l in labels])
                 params, opt, loss = step(

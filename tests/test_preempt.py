@@ -129,3 +129,56 @@ def test_sigterm_checkpoints_and_resume_continues(tmp_path):
     assert os.path.isdir(os.path.join(run_dir, "clip_1"))
     log = open(os.path.join(run_dir, "arguments.log")).read()
     assert "resumed full state" in log
+
+
+@pytest.mark.slow
+def test_mid_epoch_resume_under_spmd_mesh(tmp_path):
+    """Mid-epoch resume with mesh_data=2: the sidecar records
+    steps_per_epoch in STEPS (episodes / replicas), the geometry check
+    accepts the identical relaunch, and the loader fast-skips
+    steps * n_replicas episodes."""
+    folder = str(tmp_path / "runs")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from hgr_tpu.driver import main; import sys; main(sys.argv[1:])"
+    )
+    base = [
+        sys.executable, "-c", code,
+        "--synthetic", "True", "--arch", "TEST-RN", "--dtype", "float32",
+        "--remat", "False", "--folder", folder, "--batch_size", "2",
+        "--num_compare", "4", "--lr", "1e-3", "--print_freq", "1",
+        "--epochs", "1", "--n_episodes", "200", "--mesh_data", "2",
+    ]
+    proc = subprocess.Popen(
+        base, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=str(tmp_path), env=env,
+    )
+    deadline = time.time() + 420
+    saw_loss = False
+    while time.time() < deadline:
+        if "loss:" in proc.stdout.readline():
+            saw_loss = True
+            break
+    assert saw_loss, "spmd training never reached a step"
+    proc.send_signal(signal.SIGTERM)
+    out = proc.communicate(timeout=300)[0]
+    assert proc.returncode == 0, out[-2000:]
+
+    run_dir = os.path.join(folder, "HGR", "adaptive_0.25_0.5")
+    import json
+    meta = json.load(open(os.path.join(run_dir, "clip_0.meta.json")))
+    assert meta["steps_per_epoch"] == 100  # 200 episodes / 2 replicas
+    assert 0 < meta["steps_done"] < 100
+
+    r = subprocess.run(
+        base + ["--resume", "True"], capture_output=True, text=True,
+        timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    log = open(os.path.join(run_dir, "arguments.log")).read()
+    assert "re-entering epoch 0 at step" in log
+    meta2 = json.load(open(os.path.join(run_dir, "clip_0.meta.json")))
+    assert meta2["steps_done"] == 100
