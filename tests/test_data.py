@@ -242,3 +242,50 @@ def test_test_loader_close_stops_live_prefetcher():
     loader.close()
     assert loader._live_prefetcher is None
     assert not p._thread.is_alive()
+
+
+def test_flat_loader_epoch_streams_reproducible_across_instances():
+    """FlatTrainLoader.set_epoch(e) pins epoch e's shuffle to (seed, e)
+    alone — same restart-deterministic contract as GroupedTrainLoader, so
+    a resumed flat/baseline run (driver.run_train_flat) replays the exact
+    batch sequence of the preempted process."""
+    from hgr_tpu.data.pipeline import FlatTrainLoader
+
+    g = _grouped()
+    kw = dict(batch_size=4, seed=7, num_threads=1, prefetch=1)
+    a = FlatTrainLoader(g, CLASS_IDS, SyntheticImageSource(8), **kw)
+    epochs_a = [[lab.tolist() for _, lab, _ in a] for _ in range(3)]
+    a.close()
+    b = FlatTrainLoader(g, CLASS_IDS, SyntheticImageSource(8), **kw)
+    b.set_epoch(2)
+    assert [lab.tolist() for _, lab, _ in b] == epochs_a[2]
+    b.close()
+    # distinct epochs produce distinct shuffles (no frozen permutation)
+    assert epochs_a[0] != epochs_a[1]
+
+
+def test_prefetcher_stop_race_stress():
+    """Regression: stop() racing the producer's in-flight put. The drained
+    slot can be refilled by a put that was already blocking with its 0.1s
+    timeout, leaving the queue full when the producer's finally-clause
+    posts the done sentinel — which previously used a blocking put() and
+    deadlocked the thread (stop()'s join then stalled its full 30s and
+    leaked the thread). The sentinel put now yields a slot itself whenever
+    stop is set. 200 adversarial iterations; pre-fix this flaked."""
+    import itertools
+    import time
+
+    from hgr_tpu.data import Prefetcher
+
+    def fast_gen():
+        # tiny finite stream: the producer reaches its finally clause
+        # (normal exhaustion) at roughly the same moment stop() drains
+        for i in range(3):
+            yield i
+
+    for k in range(200):
+        p = Prefetcher(fast_gen, depth=1)
+        if k % 3 == 0:
+            time.sleep(0.0005)  # vary the interleaving
+        p.stop(join_timeout=5.0)
+        assert not p._thread.is_alive(), f"producer leaked at iter {k}"
