@@ -50,36 +50,53 @@ def load_backbone(path: str):
     return load_pytree(path)
 
 
+def preprocess_for_backbone(images, crop: int):
+    """``[B, R, R, 3]`` uint8 or [0,1]-float -> ImageNet-normalized fp32
+    center-crop of size ``crop``.
+
+    Composed with the standard loader at resolution R=256 (short-side
+    bicubic resize + centered 256 crop), ``crop=224`` selects pixelwise the
+    same pixels as torchvision's Resize(256)+CenterCrop(224) — the
+    reference's stage-B eval transform (``train_resnet_fit.py:32-41``);
+    pinned by ``tests/test_baseline_runner.py::
+    test_featurizer_preprocess_matches_torchvision_eval_transform``.
+    """
+    import jax.numpy as jnp
+
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    r = x.shape[1]
+    if crop < r:
+        off = (r - crop) // 2
+        x = x[:, off : off + crop, off : off + crop, :]
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
 def make_featurizer(params, crop: int = 224, dtype=None):
     """Jitted ``[B, R, R, 3] uint8/float -> [B, 2048]`` frozen-feature step.
 
     ``crop < R`` reproduces torchvision's Resize(256)+CenterCrop(224): load
     images at resolution 256 through the standard loader (short-side resize
     + center crop to 256) and crop the central 224 here — the composition
-    selects the identical pixels. ``dtype`` defaults to bfloat16 (the MXU
-    path; the reference runs this exact stage in fp16, same family).
+    selects the identical pixels (see :func:`preprocess_for_backbone`).
+    ``dtype`` defaults to bfloat16 (the MXU path; the reference runs this
+    exact stage in fp16, same family).
     """
     import jax
+
     import jax.numpy as jnp
 
-    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
     from ..models.resnet_std import resnet50_features
 
     if dtype is None:
         dtype = jnp.bfloat16
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
 
     @jax.jit
     def feats(images):
-        x = images.astype(jnp.float32)
-        if images.dtype == jnp.uint8:
-            x = x / 255.0
-        r = x.shape[1]
-        if crop < r:
-            off = (r - crop) // 2
-            x = x[:, off : off + crop, off : off + crop, :]
-        x = (x - mean) / std
+        x = preprocess_for_backbone(images, crop)
         return resnet50_features(params, x, dtype=dtype).astype(jnp.float32)
 
     return feats

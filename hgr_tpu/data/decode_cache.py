@@ -44,6 +44,13 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+# Bump when the decode geometry/semantics change: rows from an older-version
+# cache are NOT bit-equal to the current online path, so opening one must
+# fail loudly (like a split mismatch), not silently serve shifted pixels.
+# v2: torchvision-exact resize/crop geometry (truncated long side,
+# half-to-even crop origins) replacing round/floor.
+TRANSFORM_VERSION = 2
+
 
 def build_cache(
     grouped: Dict[str, List[str]],
@@ -128,7 +135,8 @@ def build_cache(
             np.asarray(offsets, np.int64))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(
-            {"resolution": resolution, "n_rows": n_rows, "classes": classes},
+            {"resolution": resolution, "n_rows": n_rows, "classes": classes,
+             "transform": TRANSFORM_VERSION},
             f,
         )
     try:
@@ -163,6 +171,17 @@ class CachedImageSource:
                 f"{self.resolution} but this run needs {expected_resolution} "
                 f"(different arch input size) — rebuild the cache or point "
                 f"--decode_cache elsewhere"
+            )
+        # caches predating the meta field are version 1 (round/floor
+        # geometry) — their rows differ by up to 1 px of shift/scale from
+        # the current decode path
+        if int(meta.get("transform", 1)) != TRANSFORM_VERSION:
+            raise ValueError(
+                f"decode cache {cache_dir} was built with transform "
+                f"version {meta.get('transform', 1)} but this build decodes "
+                f"with version {TRANSFORM_VERSION} (torchvision-exact "
+                f"geometry) — rebuild the cache or point --decode_cache "
+                f"elsewhere"
             )
         self.raw_uint8 = True  # caches always store uint8 (smallest H2D edge)
         n = int(meta["n_rows"])

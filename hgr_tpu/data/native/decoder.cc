@@ -150,16 +150,17 @@ int decode_to_crop(const uint8_t* data, long len, int out_px,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
-  // resize short side to out_px
+  // resize short side to out_px — torchvision functional.resize geometry:
+  // the long side is TRUNCATED, int(out_px * long / short), not rounded
+  // (torchvision 0.8 = the reference's pin; matches transforms.py
+  // resized_dims, which the PIL fallback uses)
   int nw, nh;
   if (w < h) {
     nw = out_px;
-    nh = std::max(1, static_cast<int>(std::lround(
-                       static_cast<double>(h) * out_px / w)));
+    nh = std::max(1, static_cast<int>(static_cast<double>(h) * out_px / w));
   } else {
     nh = out_px;
-    nw = std::max(1, static_cast<int>(std::lround(
-                       static_cast<double>(w) * out_px / h)));
+    nw = std::max(1, static_cast<int>(static_cast<double>(w) * out_px / h));
   }
 
   std::vector<float> fimg(static_cast<size_t>(w) * h * 3);
@@ -172,9 +173,12 @@ int decode_to_crop(const uint8_t* data, long len, int out_px,
   std::vector<float> resized(static_cast<size_t>(nh) * nw * 3);
   resample_axis(tmp.data(), h, nw * 3, 3, resized.data(), nh, nw * 3, 3, nw);
 
-  // center crop
-  const int left = (nw - out_px) / 2;
-  const int top = (nh - out_px) / 2;
+  // center crop — torchvision functional.center_crop origin:
+  // int(round(diff / 2.0)) under Python-3 half-to-EVEN rounding, which
+  // std::nearbyint reproduces (FE_TONEAREST). Floor differs by 1 px
+  // whenever diff % 4 == 3 (matches transforms.py crop_origin).
+  const int left = static_cast<int>(std::nearbyint((nw - out_px) / 2.0));
+  const int top = static_cast<int>(std::nearbyint((nh - out_px) / 2.0));
   crop.resize(static_cast<size_t>(out_px) * out_px * 3);
   for (int y = 0; y < out_px; ++y) {
     const float* src = resized.data() +

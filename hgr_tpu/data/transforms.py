@@ -21,22 +21,49 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
-def preprocess_pil(img, n_px: int) -> np.ndarray:
-    """PIL image -> [n_px, n_px, 3] float32, CLIP-normalized."""
+def resized_dims(w: int, h: int, n_px: int):
+    """torchvision ``functional.resize(img, n_px)`` output size (w, h).
+
+    Short side becomes ``n_px``; the long side is ``int(n_px * long /
+    short)`` — TRUNCATED, not rounded (torchvision 0.8, the reference's
+    pin, and current versions alike). If the short side already equals
+    ``n_px`` the image is returned unresized (torchvision's short-circuit).
+    """
+    if (w <= h and w == n_px) or (h <= w and h == n_px):
+        return w, h
+    if w < h:
+        return n_px, max(1, int(n_px * h / w))
+    return max(1, int(n_px * w / h)), n_px
+
+
+def crop_origin(full: int, out: int) -> int:
+    """torchvision ``functional.center_crop`` origin along one axis:
+    ``int(round((full - out) / 2.0))`` — Python 3 round, i.e. half-to-EVEN
+    for odd differences (NOT floor; differs by 1 px when
+    ``(full - out) % 4 == 3``)."""
+    return int(round((full - out) / 2.0))
+
+
+def _resize_crop_rgb(img, n_px: int):
+    """PIL image -> n_px x n_px RGB PIL image via the torchvision-exact
+    Resize(n_px, bicubic) + CenterCrop(n_px) geometry."""
     from PIL import Image
 
     w, h = img.size
-    if w < h:
-        nw, nh = n_px, max(1, round(h * n_px / w))
-    else:
-        nw, nh = max(1, round(w * n_px / h)), n_px
-    img = img.resize((nw, nh), Image.BICUBIC)
-    left = (nw - n_px) // 2
-    top = (nh - n_px) // 2
+    nw, nh = resized_dims(w, h, n_px)
+    if (nw, nh) != (w, h):
+        img = img.resize((nw, nh), Image.BICUBIC)
+    left = crop_origin(nw, n_px)
+    top = crop_origin(nh, n_px)
     img = img.crop((left, top, left + n_px, top + n_px))
     if img.mode != "RGB":
         img = img.convert("RGB")
-    arr = np.asarray(img, np.float32) / 255.0
+    return img
+
+
+def preprocess_pil(img, n_px: int) -> np.ndarray:
+    """PIL image -> [n_px, n_px, 3] float32, CLIP-normalized."""
+    arr = np.asarray(_resize_crop_rgb(img, n_px), np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
 
 
@@ -45,20 +72,7 @@ def preprocess_pil_uint8(img, n_px: int) -> np.ndarray:
 
     The raw host->device edge: ship uint8 (4x less transfer than float32)
     and let the jitted device step normalize (models/clip.py:encode_image)."""
-    from PIL import Image
-
-    w, h = img.size
-    if w < h:
-        nw, nh = n_px, max(1, round(h * n_px / w))
-    else:
-        nw, nh = max(1, round(w * n_px / h)), n_px
-    img = img.resize((nw, nh), Image.BICUBIC)
-    left = (nw - n_px) // 2
-    top = (nh - n_px) // 2
-    img = img.crop((left, top, left + n_px, top + n_px))
-    if img.mode != "RGB":
-        img = img.convert("RGB")
-    return np.asarray(img, np.uint8)
+    return np.asarray(_resize_crop_rgb(img, n_px), np.uint8)
 
 
 def normalize_array(arr: np.ndarray) -> np.ndarray:

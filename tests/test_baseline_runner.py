@@ -338,3 +338,49 @@ def test_gcn_save_path_roundtrips_pred_artifacts(tmp_path):
     p = inject_fc({"dummy": None}, pred)
     assert p["fc"]["w"].shape == (pred.shape[1] - 1, pred.shape[0])
     assert p["fc"]["b"].shape == (pred.shape[0],)
+
+
+def test_featurizer_preprocess_matches_torchvision_eval_transform():
+    """The stage-B feature path's preprocessing — loader at resolution 256
+    (short-side bicubic resize + centered 256 crop, uint8) composed with
+    the featurizer's center-crop(224) + ImageNet normalization — must be
+    pixelwise the torchvision eval transform the reference featurizes with:
+    Resize(256) + CenterCrop(224) + ToTensor + Normalize(ImageNet)
+    (``baseline/DGP/train_resnet_fit.py:32-41``, consumed by
+    ``evaluate_imagenet.py:84``). Tolerance covers the loader's uint8
+    quantization (<=0.5/255 per channel, ~1e-2 after /std)."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    torch = pytest.importorskip("torch")
+    tv = pytest.importorskip("torchvision")
+    from torchvision import transforms as T
+
+    from hgr_tpu.baselines.features import preprocess_for_backbone
+    from hgr_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        preprocess_pil_uint8,
+    )
+
+    rng = np.random.default_rng(3)
+    # odd, non-square dims exercise the two-stage center-crop offset math
+    img = Image.fromarray(
+        rng.integers(0, 255, size=(301, 443, 3), dtype=np.uint8)
+    )
+
+    ours_u8 = preprocess_pil_uint8(img, 256)          # what the loader emits
+    ours = np.asarray(
+        preprocess_for_backbone(jax.numpy.asarray(ours_u8[None]), crop=224)
+    )[0]
+
+    ref_t = T.Compose([
+        T.Resize(256, interpolation=T.InterpolationMode.BICUBIC),
+        T.CenterCrop(224),
+        T.ToTensor(),
+        T.Normalize(tuple(IMAGENET_MEAN), tuple(IMAGENET_STD)),
+    ])
+    ref = ref_t(img).numpy().transpose(1, 2, 0)
+
+    assert ours.shape == ref.shape == (224, 224, 3)
+    np.testing.assert_allclose(ours, ref, atol=2e-2)

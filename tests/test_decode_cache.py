@@ -184,3 +184,29 @@ def test_cli_build(jpeg_tree, tmp_path):
         "c0", grouped["c0"], 2
     )
     np.testing.assert_array_equal(src.load("c0", grouped["c0"], 2), want)
+
+
+def test_transform_version_mismatch_fails_loudly(jpeg_tree, tmp_path):
+    """A cache built with an older decode geometry (v1 round/floor, or any
+    version != current) must refuse to open: its rows differ from the
+    online path by up to a 1-px shift/scale, which would silently break
+    the cache's bit-equality contract."""
+    import json
+    import os
+
+    root, grouped = jpeg_tree
+    cache = str(tmp_path / "cache")
+    build_cache(grouped, cache, resolution=32, image_root=root)
+    meta_path = os.path.join(cache, "meta.json")
+    meta = json.load(open(meta_path))
+    assert meta["transform"] == 2  # current version recorded at build
+
+    del meta["transform"]  # a pre-versioning (v1 geometry) cache
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="transform .*version 1"):
+        CachedImageSource(cache)
+
+    meta["transform"] = 99
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="rebuild"):
+        CachedImageSource(cache)

@@ -117,3 +117,48 @@ def test_raw_uint8_file_source(tmp_path):
     legacy = FileImageSource(resolution=32, raw_uint8=False)
     out_f = legacy.load("c", [str(p)], 0)
     assert out_f.dtype == np.float32
+
+
+def test_geometry_matches_torchvision_semantics():
+    """Resize/crop geometry must be torchvision's EXACTLY (the reference's
+    transform, ``clip/clip.py:71-78`` via torchvision 0.8): the resized long
+    side is int(n_px * long / short) — TRUNCATED, not rounded — and the
+    center-crop origin is int(round(diff / 2.0)) under Python-3
+    half-to-even rounding, not floor."""
+    from hgr_tpu.data.transforms import crop_origin, resized_dims
+
+    # truncation: 53*16/37 = 22.92 -> 22 (rounding would give 23)
+    assert resized_dims(37, 53, 16) == (16, 22)
+    assert resized_dims(53, 37, 16) == (22, 16)
+    # short side already n_px: torchvision returns the image unresized
+    assert resized_dims(16, 100, 16) == (16, 100)
+    assert resized_dims(100, 16, 16) == (100, 16)
+    # crop origins: diff 32 -> 16; odd diffs round half-to-even
+    assert crop_origin(256, 224) == 16
+    assert crop_origin(227, 224) == 2  # round(1.5) = 2 (floor gives 1)
+    assert crop_origin(229, 224) == 2  # round(2.5) = 2
+    assert crop_origin(231, 224) == 4  # round(3.5) = 4 (floor gives 3)
+
+
+def test_native_geometry_agrees_with_pil_on_edge_cases():
+    """Native and PIL paths must pick identical resize dims and crop
+    origins where the torchvision semantics diverge from naive
+    round/floor: a truncating long side (210*32/100 = 67.2 -> 67) whose
+    crop diff is 35 (odd, % 4 == 3 -> origin 18, not 17)."""
+    if load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    from PIL import Image
+
+    from hgr_tpu.data.native import decode_resize_u8
+    from hgr_tpu.data.transforms import preprocess_pil_uint8
+
+    jb = _jpeg_bytes(w=100, h=210)
+    out_n = decode_resize_u8(jb, 32).astype(np.int32)
+    out_p = preprocess_pil_uint8(
+        Image.open(io.BytesIO(jb)), 32
+    ).astype(np.int32)
+    assert out_n.shape == out_p.shape == (32, 32, 3)
+    # same pixels selected => only resample-kernel noise remains; a 1-px
+    # origin or dims mismatch on this gradient image shows up as a large
+    # mean shift
+    assert float(np.abs(out_n - out_p).mean()) < 2.0
