@@ -162,3 +162,34 @@ def test_native_geometry_agrees_with_pil_on_edge_cases():
     # origin or dims mismatch on this gradient image shows up as a large
     # mean shift
     assert float(np.abs(out_n - out_p).mean()) < 2.0
+
+
+def test_native_prescale_branch_stays_close_to_pil():
+    """Large JPEGs (short side >= 2*out_px) take libjpeg's DCT-domain
+    prescale fast path before the bicubic — a deliberate speed/quality
+    tradeoff the full-resolution PIL path doesn't make. Pin that it stays
+    sub-1% of full scale (measured: mean |diff| ~0.37/255, max ~5/255 on a
+    textured 1200x1000 image) so a prescale regression is caught."""
+    if load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    from PIL import Image
+
+    from hgr_tpu.data.native import decode_resize_u8
+    from hgr_tpu.data.transforms import preprocess_pil_uint8
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((10, 12, 3))
+    arr = np.kron(base, np.ones((100, 100, 1)))
+    arr += 0.3 * rng.standard_normal(arr.shape)
+    arr = ((arr - arr.min()) / np.ptp(arr) * 255).astype(np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, format="JPEG", quality=92)
+    jb = b.getvalue()
+
+    out_n = decode_resize_u8(jb, 224).astype(np.int32)
+    out_p = preprocess_pil_uint8(
+        Image.open(io.BytesIO(jb)), 224
+    ).astype(np.int32)
+    d = np.abs(out_n - out_p)
+    assert float(d.mean()) < 1.0
+    assert int(d.max()) <= 12
