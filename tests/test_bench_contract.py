@@ -52,3 +52,86 @@ def test_parse_partials_takes_last_cumulative_line():
         "eval_imgs_per_sec": 8400.0, "train_imgs_per_sec": 828.0
     }
     assert bench._parse_partials("no partials here") is None
+
+
+def _run_watchdog_capture(monkeypatch, child_fn, budget="520",
+                          probe=lambda timeout_s=60.0: True):
+    monkeypatch.setenv("HGR_BENCH_BUDGET_S", budget)
+    monkeypatch.setattr(bench, "_child", child_fn)
+    monkeypatch.setattr(bench, "_probe_tunnel", probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench._run_with_watchdog()
+    jlines = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
+    return json.loads(jlines[-1]), buf.getvalue()
+
+
+def _full_result():
+    return {
+        "calib_tflops": 148.0, "eval_imgs_per_sec": 8400.0,
+        "train_imgs_per_sec": 828.0, "vit_b32_eval_imgs_per_sec": 7300.0,
+        "e2e_eval_imgs_per_sec": 230.0,
+        "train_imgs_per_sec_b1024": 1200.0, "train_imgs_per_sec_b512": 1000.0,
+        "coop_train_imgs_per_sec": 700.0,
+    }
+
+
+def test_watchdog_single_combined_pass(monkeypatch):
+    """Everything lands on the first combined child: one attempt per
+    section, no retries, section_attempts recorded in the artifact."""
+    calls = []
+
+    def child(sections, timeout_s):
+        calls.append(list(sections))
+        return _full_result(), "ok"
+
+    line, _ = _run_watchdog_capture(monkeypatch, child)
+    assert len(calls) == 1  # no retry children spawned
+    assert line["value"] == 8400.0 and line["status"] == "ok"
+    assert line["extra"]["section_attempts"] == {
+        s: 1 for s in bench.SECTIONS
+    }
+
+
+def test_watchdog_retries_only_missing_sections(monkeypatch):
+    """A combined pass that loses its tail gets per-section retries for
+    exactly the missing sections — core ones before optional ones — and a
+    truncated batch sweep (b512 landed, b1024 missing) re-runs."""
+    partial = _full_result()
+    del partial["coop_train_imgs_per_sec"]
+    del partial["train_imgs_per_sec_b1024"]  # b512 alone must NOT count
+    del partial["e2e_eval_imgs_per_sec"]
+    calls = []
+
+    def child(sections, timeout_s):
+        calls.append(list(sections))
+        if len(calls) == 1:
+            return dict(partial), "timeout"
+        (s,) = sections
+        return {bench_need[s]: 1.0}, "ok"
+
+    bench_need = {"pipeline": "e2e_eval_imgs_per_sec",
+                  "trainsweep": "train_imgs_per_sec_b1024",
+                  "coop": "coop_train_imgs_per_sec"}
+    line, _ = _run_watchdog_capture(monkeypatch, child)
+    # core retry (pipeline) precedes the optional ones (trainsweep, coop)
+    assert calls[1:] == [["pipeline"], ["trainsweep"], ["coop"]]
+    att = line["extra"]["section_attempts"]
+    assert att["pipeline"] == att["trainsweep"] == att["coop"] == 2
+    assert att["eval"] == att["calib"] == 1
+
+
+def test_watchdog_remeasures_degraded_headline(monkeypatch):
+    """A tunnel-degraded headline (< 4000 imgs/s) is re-measured and the
+    MAX is kept — throughput is a peak-capability number."""
+    res = _full_result()
+    res["eval_imgs_per_sec"] = 502.0  # degraded-phase artifact
+    seq = [(res, "ok"), ({"eval_imgs_per_sec": 8400.0}, "ok")]
+
+    def child(sections, timeout_s):
+        return seq.pop(0)
+
+    line, _ = _run_watchdog_capture(monkeypatch, child)
+    assert line["value"] == 8400.0
+    assert line["extra"]["section_attempts"]["eval"] == 2
