@@ -219,7 +219,12 @@ def sec_pipeline(out: dict) -> None:
     # cores-per-chip budget (docs/SCALING.md "Feeding the chip")
     from hgr_tpu.data.decode_cache import open_or_build
 
-    cache_dir = os.path.join(jpeg_root, f"_cache_{res}")
+    from hgr_tpu.data.decode_cache import TRANSFORM_VERSION
+
+    # version-keyed path: a cache left in /tmp by a bench run predating a
+    # decode-geometry bump would otherwise fail CachedImageSource's
+    # transform-version check and cost this section
+    cache_dir = os.path.join(jpeg_root, f"_cache_{res}_v{TRANSFORM_VERSION}")
     cached_src = open_or_build(cache_dir, grouped, res, image_root=jpeg_root)
     cached_rate = _time_loader(
         GroupedTestLoader(grouped, ids, cached_src, BATCH, num_threads=threads)
