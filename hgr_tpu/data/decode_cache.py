@@ -79,7 +79,7 @@ def build_cache(
     winner's identical, already-complete cache."""
     final_dir = out_dir
     out_dir = f"{out_dir.rstrip(os.sep)}.building.{os.getpid()}"
-    from .pipeline import FileImageSource, _maybe_mp_pool
+    from .pipeline import FileImageSource, _decode_rows, _maybe_mp_pool
 
     os.makedirs(out_dir, exist_ok=True)
     classes = list(grouped.keys())
@@ -93,13 +93,11 @@ def build_cache(
     if source is None:
         source = FileImageSource(resolution, image_root, raw_uint8=True)
     mp_pool = _maybe_mp_pool(source, num_procs, chunk)
-    pool = None
-    if mp_pool is None and num_threads > 1:
-        # thread fallback: the native C++ decode releases the GIL, so a
-        # thread pool still buys real parallelism for a num_procs=0 build
-        from concurrent.futures import ThreadPoolExecutor
+    # thread fallback: the native C++ decode releases the GIL, so a thread
+    # pool still buys real parallelism for a num_procs=0 build
+    from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(num_threads)
+    pool = ThreadPoolExecutor(max(1, num_threads))
     class_ptr = [0]
     offsets = [0]
     try:
@@ -109,13 +107,8 @@ def build_cache(
                 paths = grouped[cls]
                 for lo in range(0, len(paths), chunk):
                     idxs = list(range(lo, min(lo + chunk, len(paths))))
-                    if mp_pool is not None:
-                        rows = mp_pool.decode(cls, paths, idxs)
-                    elif pool is not None:
-                        rows = list(pool.map(
-                            lambda i: source.load(cls, paths, i), idxs))
-                    else:
-                        rows = [source.load(cls, paths, i) for i in idxs]
+                    rows = _decode_rows(source, pool, mp_pool, cls, paths,
+                                        idxs)
                     images[row : row + len(idxs)] = rows
                     row += len(idxs)
                 for p in paths:
@@ -237,7 +230,22 @@ def open_or_build(
     num_procs: int = 0,
 ) -> Optional["CachedImageSource"]:
     """Open ``cache_dir`` if it exists, else build it from ``grouped``.
-    The driver's ``--decode_cache`` entry point."""
+    The driver's ``--decode_cache`` entry point.
+
+    A cache that exists but is unusable for THIS run — built at a
+    different resolution (other arch input size) or with an older decode
+    transform version — is left intact (it may be huge and still serve the
+    run it was built for) and a version-keyed sibling directory is used
+    instead, so production runs self-heal across upgrades rather than
+    hard-failing at startup."""
+    if os.path.exists(os.path.join(cache_dir, "meta.json")):
+        try:
+            return CachedImageSource(cache_dir, expected_resolution=resolution)
+        except ValueError as e:
+            alt = f"{cache_dir.rstrip(os.sep)}.r{resolution}v{TRANSFORM_VERSION}"
+            print(f"decode cache at {cache_dir} is unusable for this run "
+                  f"({e}); using {alt} instead", flush=True)
+            cache_dir = alt
     if not os.path.exists(os.path.join(cache_dir, "meta.json")):
         print(f"building decode cache at {cache_dir} "
               f"({sum(len(p) for p in grouped.values())} images)", flush=True)

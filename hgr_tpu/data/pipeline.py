@@ -255,6 +255,20 @@ class Prefetcher:
             yield item
 
 
+def _stop_live_prefetcher(loader) -> None:
+    """Stop a loader's still-running producer before starting a new one.
+
+    A consumer that abandons an epoch early (exception, ``break``) leaves
+    the old Prefetcher mid-produce; re-entering ``__iter__`` without
+    stopping it would run two producers concurrently over the loader's
+    shared mutable state (rng/cursors, and the mp pool's single shm buffer).
+    """
+    p = getattr(loader, "_live_prefetcher", None)
+    if p is not None:
+        loader._live_prefetcher = None
+        p.stop()
+
+
 class GroupedTrainLoader:
     """Infinite-per-class episodic train loader (one class per batch)."""
 
@@ -367,6 +381,7 @@ class GroupedTrainLoader:
 
     def __iter__(self) -> Iterator[GroupBatch]:
         # per-epoch deterministic streams (see set_epoch): reseed and reset
+        _stop_live_prefetcher(self)
         # the per-class cursors so epoch e is a pure function of (seed, e)
         self.rng = np.random.default_rng([self._seed, self._epoch])
         self._cursors = {}
@@ -451,6 +466,7 @@ class FlatTrainLoader:
         self._epoch = int(epoch)
 
     def __iter__(self):
+        _stop_live_prefetcher(self)
         self.rng = np.random.default_rng([self._seed, self._epoch])
         self._epoch += 1
         order = self.rng.permutation(len(self.items))
@@ -516,6 +532,8 @@ class GroupedTestLoader:
             self.mp_pool.close()
 
     def __iter__(self) -> Iterator[GroupBatch]:
+        _stop_live_prefetcher(self)
+
         def gen():
             B = self.batch_size
             for cls, paths in self.grouped.items():

@@ -122,6 +122,29 @@ def test_watchdog_retries_only_missing_sections(monkeypatch):
     assert att["eval"] == att["calib"] == 1
 
 
+def test_watchdog_headline_retry_precedes_secondary_sections(monkeypatch):
+    """In a degraded-tunnel window the remaining budget goes to the judged
+    headline FIRST: the eval re-measure must run before the vit/pipeline/
+    trainsweep/coop retries (r04 shipped a 152 imgs/s headline with status
+    ok because a doomed vit retry exhausted the budget before the gate)."""
+    partial = {"calib_tflops": 8.8, "eval_imgs_per_sec": 152.6,
+               "train_imgs_per_sec": 826.9}
+    calls = []
+
+    def child(sections, timeout_s):
+        calls.append(list(sections))
+        if len(calls) == 1:
+            return dict(partial), "timeout"
+        if sections == ["eval"]:
+            return {"eval_imgs_per_sec": 8400.0}, "ok"
+        return None, "timeout"  # vit/pipeline/... stay doomed
+
+    line, _ = _run_watchdog_capture(monkeypatch, child)
+    assert calls[1] == ["eval"]  # gate fires before any secondary retry
+    assert line["value"] == 8400.0 and line["status"] == "ok"
+    assert line["extra"]["section_attempts"]["eval"] == 2
+
+
 def test_watchdog_remeasures_degraded_headline(monkeypatch):
     """A tunnel-degraded headline (< 4000 imgs/s) is re-measured and the
     MAX is kept — throughput is a peak-capability number."""

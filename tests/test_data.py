@@ -244,6 +244,38 @@ def test_test_loader_close_stops_live_prefetcher():
     assert not p._thread.is_alive()
 
 
+def test_loader_reiter_stops_previous_prefetcher():
+    """Re-entering ``__iter__`` after abandoning an epoch early (exception,
+    ``break``) must stop the previous producer thread first — two live
+    producers would race over the loader's shared mutable state (rng and
+    per-class cursors; an mp pool's single shm buffer)."""
+    g = _grouped()
+    for make in (
+        lambda: GroupedTrainLoader(
+            g, CLASS_IDS, SyntheticImageSource(4), batch_size=4, seed=0,
+            num_threads=1, prefetch=1,
+        ),
+        lambda: GroupedTestLoader(
+            g, CLASS_IDS, SyntheticImageSource(4), batch_size=4,
+            num_threads=1, prefetch=1,
+        ),
+    ):
+        loader = make()
+        it = iter(loader)
+        next(it)  # consume one batch, then abandon the epoch mid-way
+        p_old = loader._live_prefetcher
+        assert p_old is not None
+        it2 = iter(loader)
+        assert loader._live_prefetcher is not p_old
+        assert not p_old._thread.is_alive()
+        # the fresh epoch still yields its full, uncorrupted batch count
+        n2 = sum(1 for _ in it2)
+        fresh = make()
+        assert n2 == sum(1 for _ in iter(fresh))
+        loader.close()
+        fresh.close()
+
+
 def test_flat_loader_epoch_streams_reproducible_across_instances():
     """FlatTrainLoader.set_epoch(e) pins epoch e's shuffle to (seed, e)
     alone — same restart-deterministic contract as GroupedTrainLoader, so

@@ -141,18 +141,40 @@ def test_open_or_build_builds_then_reopens(jpeg_tree, tmp_path, capsys):
 
 
 def test_resolution_mismatch_fails_loudly(jpeg_tree, tmp_path):
-    """A cache built at 32 reopened for an arch that needs 48 must raise a
+    """A cache built at 32 opened for an arch that needs 48 must raise a
     clear rebuild error, not feed wrong-sized rows that surface later as a
     confusing positional-embedding shape failure."""
     root, grouped = jpeg_tree
     cache = str(tmp_path / "cache")
     build_cache(grouped, cache, resolution=32, image_root=root)
     with pytest.raises(ValueError, match="built at resolution 32"):
-        open_or_build(cache, grouped, 48, image_root=root)
-    with pytest.raises(ValueError, match="rebuild"):
         CachedImageSource(cache, expected_resolution=48)
     # matching resolution still opens
     assert CachedImageSource(cache, expected_resolution=32).resolution == 32
+
+
+def test_open_or_build_self_heals_on_mismatch(jpeg_tree, tmp_path, capsys):
+    """``open_or_build`` (the driver's ``--decode_cache`` entry point) must
+    not hard-fail production startup when the cache at the given path was
+    built for another arch's resolution or an older transform version: the
+    existing cache is left intact (it still serves the run it was built
+    for) and a version-keyed sibling is built and used instead."""
+    root, grouped = jpeg_tree
+    cache = str(tmp_path / "cache")
+    build_cache(grouped, cache, resolution=32, image_root=root)
+    s48 = open_or_build(cache, grouped, 48, image_root=root)
+    out = capsys.readouterr().out
+    assert "unusable for this run" in out and "building decode cache" in out
+    assert s48.resolution == 48
+    assert s48.load("c0", grouped["c0"], 0).shape[:2] == (48, 48)
+    # the original cache is untouched and still serves a 32-res run
+    assert CachedImageSource(cache, expected_resolution=32).resolution == 32
+    # a second open at 48 reuses the sibling without rebuilding
+    s48b = open_or_build(cache, grouped, 48, image_root=root)
+    assert "building" not in capsys.readouterr().out
+    np.testing.assert_array_equal(
+        s48.load("c1", grouped["c1"], 2), s48b.load("c1", grouped["c1"], 2)
+    )
 
 
 def test_build_thread_fallback_matches_serial(jpeg_tree, tmp_path):
