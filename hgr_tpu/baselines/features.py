@@ -63,14 +63,16 @@ def preprocess_for_backbone(images, crop: int):
     """
     import jax.numpy as jnp
 
-    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD, crop_origin
 
     x = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
         x = x / 255.0
     r = x.shape[1]
     if crop < r:
-        off = (r - crop) // 2
+        # torchvision's half-to-even origin, NOT floor — differs by 1 px
+        # when (r - crop) % 4 == 3 (e.g. resolution 227 / crop 224)
+        off = crop_origin(r, crop)
         x = x[:, off : off + crop, off : off + crop, :]
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 

@@ -93,11 +93,13 @@ def build_cache(
     if source is None:
         source = FileImageSource(resolution, image_root, raw_uint8=True)
     mp_pool = _maybe_mp_pool(source, num_procs, chunk)
-    # thread fallback: the native C++ decode releases the GIL, so a thread
-    # pool still buys real parallelism for a num_procs=0 build
-    from concurrent.futures import ThreadPoolExecutor
+    pool = None
+    if mp_pool is None:
+        # thread fallback: the native C++ decode releases the GIL, so a
+        # thread pool still buys real parallelism for a num_procs=0 build
+        from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max(1, num_threads))
+        pool = ThreadPoolExecutor(max(1, num_threads))
     class_ptr = [0]
     offsets = [0]
     try:
@@ -109,6 +111,16 @@ def build_cache(
                     idxs = list(range(lo, min(lo + chunk, len(paths))))
                     rows = _decode_rows(source, pool, mp_pool, cls, paths,
                                         idxs)
+                    # the memmap is uint8: numpy would silently wrap a
+                    # float-emitting source (negatives/fractions -> garbage
+                    # pixels) — fail loudly instead of corrupting the cache
+                    if rows and np.asarray(rows[0]).dtype != np.uint8:
+                        raise ValueError(
+                            "decode cache requires uint8 rows; source "
+                            f"produced {np.asarray(rows[0]).dtype} — pass a "
+                            "raw_uint8 source (FileImageSource(..., "
+                            "raw_uint8=True))"
+                        )
                     images[row : row + len(idxs)] = rows
                     row += len(idxs)
                 for p in paths:

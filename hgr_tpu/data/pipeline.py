@@ -242,6 +242,21 @@ class Prefetcher:
             except queue.Empty:
                 break
         self._thread.join(timeout=join_timeout)
+        # the drain above may have swallowed an already-queued _done while
+        # a SEPARATE consumer thread sits in __iter__'s blocking get()
+        # (e.g. the driver's step-prefetch thread iterating this loader as
+        # run_train's finally closes it) — re-post the sentinel so that
+        # consumer terminates instead of hanging forever. The producer is
+        # dead, so only consumers drain the queue and this loop converges.
+        while True:
+            try:
+                self._q.put_nowait(self._done)
+                break
+            except queue.Full:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    pass
 
     def __iter__(self):
         while True:

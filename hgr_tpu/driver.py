@@ -460,9 +460,12 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
     # preempted partway through (steps_done < steps_per_epoch) and the run
     # geometry matches, RE-ENTER that epoch at the saved step instead of
     # skipping its remaining data. On geometry mismatch (different
-    # n_episodes/batch layout) fall back to next-epoch semantics.
+    # n_episodes/batch layout) — or a loader without the skip_next API,
+    # mirroring the hasattr(set_epoch) guard in _epoch_loop — fall back to
+    # next-epoch semantics rather than crashing the prefetch thread.
     resume_skip = 0
     if (resume_meta is not None
+            and hasattr(loader, "skip_next")
             and resume_meta.get("steps_per_epoch") == steps_per_epoch
             and 0 < resume_meta.get("steps_done", steps_per_epoch)
             < steps_per_epoch):

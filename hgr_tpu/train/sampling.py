@@ -238,7 +238,16 @@ class NegativeSampler:
         # enough slots that dropping every excluded id still leaves a full set
         need = min(len(cand), self.num_compare + len(excl))
         if need < len(cand):
-            part = np.argpartition(-sims, need - 1)[:need]
+            # argpartition picks an ARBITRARY member among ties that
+            # straddle the need-boundary (exact ties happen: duplicate
+            # lemma prompts give bit-identical embeddings); rebuild the
+            # prefix as "all strictly above the kth value, then the
+            # lowest-index ties" so the selected SET matches the stable
+            # full-sort path exactly
+            kth = sims[np.argpartition(-sims, need - 1)[need - 1]]
+            hi = np.flatnonzero(sims > kth)
+            ties = np.flatnonzero(sims == kth)[: need - len(hi)]
+            part = np.concatenate([hi, ties])
             part = part[np.argsort(-sims[part], kind="stable")]
         else:
             part = np.argsort(-sims, kind="stable")

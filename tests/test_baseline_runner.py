@@ -384,3 +384,34 @@ def test_featurizer_preprocess_matches_torchvision_eval_transform():
 
     assert ours.shape == ref.shape == (224, 224, 3)
     np.testing.assert_allclose(ours, ref, atol=2e-2)
+
+
+def test_featurizer_crop_origin_matches_torchvision_at_odd_geometry():
+    """``preprocess_for_backbone``'s center-crop origin must be
+    torchvision's half-to-EVEN ``int(round((r - crop) / 2.0))``, not floor —
+    they differ by 1 px when ``(r - crop) % 4 == 3`` (e.g. a 227-px loader
+    feeding a 224 crop), which would silently shift every extracted feature
+    off the reference transform (``train_resnet_fit.py:32-41``)."""
+    pytest.importorskip("PIL")
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("torchvision")
+    import jax.numpy as jnp
+    from torchvision import transforms as T
+
+    from hgr_tpu.baselines.features import preprocess_for_backbone
+    from hgr_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.default_rng(11)
+    r, crop = 227, 224  # (r - crop) % 4 == 3: floor=1, torchvision=2
+    u8 = rng.integers(0, 255, size=(r, r, 3), dtype=np.uint8)
+
+    ours = np.asarray(preprocess_for_backbone(jnp.asarray(u8[None]), crop))[0]
+    ref_t = T.Compose([
+        T.CenterCrop(crop),
+        T.ToTensor(),
+        T.Normalize(tuple(IMAGENET_MEAN), tuple(IMAGENET_STD)),
+    ])
+    from PIL import Image
+
+    ref = ref_t(Image.fromarray(u8)).numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

@@ -321,3 +321,32 @@ def test_prefetcher_stop_race_stress():
             time.sleep(0.0005)  # vary the interleaving
         p.stop(join_timeout=5.0)
         assert not p._thread.is_alive(), f"producer leaked at iter {k}"
+
+
+def test_prefetcher_stop_unblocks_blocked_consumer():
+    """stop()'s queue drain can swallow an already-posted done sentinel;
+    a consumer thread still sitting in ``__iter__``'s blocking ``get()``
+    (the driver's step-prefetch thread, as ``run_train``'s finally closes
+    the loader) would then hang forever. stop() must re-post the sentinel
+    after the join so every consumer terminates."""
+    import threading
+
+    from hgr_tpu.data import Prefetcher
+
+    def gen():
+        yield from range(2)
+
+    p = Prefetcher(gen, depth=4)
+    p._thread.join(timeout=5.0)  # producer exhausts, sentinel is queued
+    assert not p._thread.is_alive()
+    p.stop(join_timeout=5.0)  # drain swallows items AND the sentinel
+
+    finished = threading.Event()
+
+    def consume():
+        assert list(p) == []  # pre-fix: blocks forever on an empty queue
+        finished.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert finished.wait(timeout=5.0), "consumer hung after stop()"

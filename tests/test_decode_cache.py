@@ -232,3 +232,17 @@ def test_transform_version_mismatch_fails_loudly(jpeg_tree, tmp_path):
     json.dump(meta, open(meta_path, "w"))
     with pytest.raises(ValueError, match="rebuild"):
         CachedImageSource(cache)
+
+
+def test_build_rejects_float_source_loudly(jpeg_tree, tmp_path):
+    """The cache memmap is uint8: a float-emitting source (e.g.
+    ``FileImageSource(raw_uint8=False)``, whose rows are normalized floats
+    in roughly [-2, 2]) would be silently wrapped by numpy's cast into
+    garbage pixels. The build must fail loudly instead."""
+    root, grouped = jpeg_tree
+    cache = str(tmp_path / "cache")
+    src = FileImageSource(resolution=32, image_root=root, raw_uint8=False)
+    with pytest.raises(ValueError, match="uint8"):
+        build_cache(grouped, cache, resolution=32, image_root=root,
+                    source=src)
+    assert not os.path.exists(os.path.join(cache, "meta.json"))

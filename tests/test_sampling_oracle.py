@@ -181,6 +181,45 @@ def test_vectorized_similarity_matches_naive_ranking():
         assert got == want, f"near_simi ranking mismatch at target {target}"
 
 
+def test_similarity_ties_straddling_cutoff_match_stable_sort():
+    """Exact similarity ties that straddle the selection boundary must
+    resolve exactly like the naive stable full-sort (lowest index wins) —
+    ``np.argpartition`` alone keeps an ARBITRARY tied member, making the
+    fast path diverge from the ``class_feats``-naive semantics it claims to
+    replace. Ties are real: duplicate lemma prompts in a WordNet-scale bank
+    produce bit-identical embeddings."""
+    hier = synthetic_hierarchy(branching=3, levels=4, extra_edges=6, seed=1)
+    n = hier.num_nodes
+    # every class shares ONE of 4 feature vectors -> massive exact ties at
+    # any cutoff, in every level window
+    base = np.random.default_rng(7).standard_normal((4, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    feats = base[np.arange(n) % 4]
+    sampler = NegativeSampler(
+        hier, np.arange(n), num_compare=7, k=1, seed=0, class_feats=feats
+    )
+
+    for target in [0, 1, n // 3, n - 1]:
+        parents = hier.chain_with_self(target)
+        depth = len(parents) - 1
+        excl = set(parents) | set(hier.children(target))
+        for method in ("simi", "near_simi"):
+            if method == "simi":
+                pool = [c for c in range(n) if c not in excl]
+            else:
+                low, high = max(0, depth - 1), min(hier.max_depth, depth + 1)
+                cand = []
+                for d in range(low, high + 1):
+                    cand.extend(hier.level(d))
+                pool = [c for c in cand if c not in excl]
+            sims = feats[pool] @ feats[target]
+            want = [pool[i] for i in np.argsort(-sims, kind="stable")][:7]
+            ids, lab = sampler.sample(method, target, depth, parents)
+            got = [i for i in ids if i != target]
+            assert got == want, f"{method} tie-break mismatch at {target}"
+            assert ids[lab] == target
+
+
 @pytest.mark.slow
 def test_schedule_build_cost_bound_at_reference_scale():
     """Regression bound for VERDICT r3 #5: every sampling strategy's
