@@ -32,6 +32,21 @@ prints cumulative ``#partial`` result lines after each section so a timeout
 only loses the unfinished tail; missing sections then get individual retry
 children. Budget via ``HGR_BENCH_BUDGET_S`` (default 520, fits a
 ``timeout 550`` caller).
+
+Two cross-run mechanisms (r05):
+
+- **Sidecar persistence** (``BENCH_SIDECAR.json``): the optional sections
+  (trainsweep/coop) were coded in r03 but starved out of the artifact two
+  rounds running by tunnel weather. Every successful measurement is now
+  persisted to the sidecar; a later run whose optional sections miss fills
+  them from the sidecar with provenance (``sidecar_filled``), so a number
+  captured ONCE in any healthy phase survives into every later artifact.
+- **Calibration brackets the run**: r04 recorded calib 8.6 TFLOP/s (pass
+  start, degraded phase) beside an 8,460 imgs/s headline (minutes later,
+  recovered tunnel), which SCALING.md's drift rule could not classify. The
+  watchdog now re-measures calib at pass END (``calib_tflops_end``) and
+  stamps each section's completion time (``section_done_s``), so the
+  artifact shows which tunnel phase each number came from.
 """
 
 from __future__ import annotations
@@ -304,11 +319,16 @@ def sec_pipeline(out: dict) -> None:
           f"{out['e2e_cached_eval_imgs_per_sec']} imgs/s", flush=True)
 
 
-def _train_rate(batch: int, iters: int = 10, coop: bool = False):
+def _train_rate(batch: int, iters: int = 10, coop: bool = False,
+                accum: int = 1):
     """OM train-step (imgs_per_sec, step_ms) at ``batch`` (num_compare 256,
     remat on — reference defaults). ``coop=True`` trains the CoOp context
     through the OM loss instead (the reference's clip_coop variant,
-    ``model/clip_coop.py`` / ``model/CoOp.py:31-162``)."""
+    ``model/clip_coop.py`` / ``model/CoOp.py:31-162``). ``accum=k`` runs
+    the batch as k single-class microbatches with gradient accumulation
+    (``Config.accum_steps`` / optax.MultiSteps) — the production recipe for
+    effective batches whose monolithic step exceeds HBM; ``step_ms`` is
+    then the full optimizer-update period (k microbatch steps)."""
     import jax
     import jax.numpy as jnp
 
@@ -325,20 +345,28 @@ def _train_rate(batch: int, iters: int = 10, coop: bool = False):
     hier, tm = _setup("RN50")
     rng = np.random.default_rng(0)
     res = tm.clip_cfg.image_resolution
-    target = int(hier.level(hier.max_depth)[0])
+    deep_level = hier.level(hier.max_depth)
+    targets = [int(deep_level[k % len(deep_level)]) for k in range(accum)]
+    target = targets[0]
+    micro = batch // accum
 
-    tcfg = Config(arch="RN50", num_compare=256, batch_size=batch, remat=True,
-                  coop=coop)
+    tcfg = Config(arch="RN50", num_compare=256, batch_size=micro, remat=True,
+                  coop=coop, accum_steps=accum)
     text_fn = None
     extra_params = None
     extra_labels = None
+    frozen = ()
     if coop:
         static, ctx = tm.coop_setup(tcfg.seed)
-        text_fn = tm.coop_text_fn(static)
+        # remat the prompt-learner text path like the standard one, and
+        # stop-gradient the frozen CLIP so its backward is DCE'd — without
+        # both, the CoOp step at this scale does not fit HBM (measured OOM)
+        text_fn = tm.coop_text_fn(static, remat=True)
         extra_params = {"coop_ctx": ctx}
-        # reference default coop_train="ctx": CLIP weights frozen, only the
-        # learned context trains (driver.py run_train wiring)
+        # coop_train="ctx": CLIP weights frozen, only the learned context
+        # trains (driver.py run_train wiring)
         extra_labels = {"clip": "frozen", "coop_ctx": "clip"}
+        frozen = ("clip",)
     tx = make_optimizer(tcfg, total_steps=100, extra_labels=extra_labels)
     # COPY the params AND layer_weight into the train state: the production
     # step donates its state buffers (donate=True), which would invalidate
@@ -351,7 +379,7 @@ def _train_rate(batch: int, iters: int = 10, coop: bool = False):
         extra_params=extra_params,
     )
     step_fn = make_train_step(tcfg, tm.clip_cfg, tx, dtype=jnp.bfloat16,
-                              text_fn=text_fn)
+                              text_fn=text_fn, frozen=frozen)
 
     sampler = NegativeSampler(
         hier, np.arange(hier.num_nodes), tcfg.num_compare, seed=0,
@@ -360,19 +388,34 @@ def _train_rate(batch: int, iters: int = 10, coop: bool = False):
     builder = ScheduleBuilder(
         hier, sampler, tcfg.out_ratio, tcfg.in_ratio, tcfg.num_compare
     )
-    sched = sched_to_device(builder.build(target))
-    timages = jnp.asarray(
-        rng.standard_normal((batch, res, res, 3)).astype(np.float32)
-    )
+    scheds = [sched_to_device(builder.build(t)) for t in targets]
+    # raw uint8 at the host->device edge, like sec_eval and the production
+    # loaders (pipeline raw_uint8 default; normalization fuses into the
+    # stem conv on device) — the honest input path and 4x less HBM per
+    # image batch than f32
+    timages = [
+        jnp.asarray(rng.integers(0, 256, (micro, res, res, 3), dtype=np.uint8))
+        for _ in range(accum)
+    ]
     node_tokens = jnp.asarray(tm.node_tokens)
-    state, loss = step_fn(state, timages, node_tokens, sched)  # compile
+    for k in range(accum):  # compile (+ warm each microbatch's shapes)
+        state, loss = step_fn(state, timages[k], node_tokens, scheds[k])
     float(loss)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = step_fn(state, timages, node_tokens, sched)
+        for k in range(accum):
+            state, loss = step_fn(state, timages[k], node_tokens, scheds[k])
     float(loss)  # fetch to sync honestly
     dt = time.perf_counter() - t0
+    # free this config's state (fp32 params + Adam moments ~1.2GB) and
+    # executable NOW: the b1024 point fits on its own (6.3GB temp, AOT
+    # memory_analysis) but OOM'd when run after b256+b512 in one child
+    # because the previous points' buffers were still alive
+    del state, step_fn
+    import gc
+
+    gc.collect()
     return round(batch * iters / dt, 1), round(dt / iters * 1000, 1)
 
 
@@ -390,12 +433,26 @@ def sec_trainsweep(out: dict) -> None:
     """OM batch-amortization curve (VERDICT r3 #3): the schedule's text
     encode is per-schedule, so larger image batches amortize it — these are
     the measured rates behind that claim (reference-default batch stays 256
-    for parity; hot loop ``model/clip_tree.py:241-280``)."""
-    for b in (512, 1024):
-        rate, step_ms = _train_rate(batch=b)
+    for parity; hot loop ``model/clip_tree.py:241-280``).
+
+    b1024 runs as gradient accumulation (2x512 microbatches,
+    ``Config.accum_steps``): the monolithic b1024 step does NOT fit one
+    chip's HBM — its compile demands 15.83G (f32 images) / 16.71G (uint8,
+    conversion temp) of 15.75G, measured twice via compile OOM — so
+    accumulation is the recipe a production b1024-per-chip run would use
+    (docs/SCALING.md memory notes)."""
+    for b, accum in ((512, 1), (1024, 2)):
+        rate, step_ms = _train_rate(batch=b, accum=accum)
         out[f"train_imgs_per_sec_b{b}"] = rate
         out[f"train_step_ms_b{b}"] = step_ms
-        print(f"# train step b{b}: {step_ms} ms, {rate} imgs/s", flush=True)
+        if accum > 1:
+            out[f"train_b{b}_mode"] = (
+                f"grad_accum_{accum}x{b // accum}: monolithic b{b} "
+                "needs 15.8-16.7G of 15.75G HBM (measured)"
+            )
+        print(f"# train step b{b}"
+              + (f" (accum {accum}x{b // accum})" if accum > 1 else "")
+              + f": {step_ms} ms, {rate} imgs/s", flush=True)
         print("#partial " + json.dumps(out), flush=True)
 
 
@@ -416,6 +473,14 @@ def _emit(out: dict) -> None:
         out["host_cores_to_feed_chip"] = round(
             value * out["decode_cpu_ms_per_img"] / 1000.0, 1
         )
+    if value and out.get("decode_cpu_ms_per_img_range"):
+        # range across the sidecar's sample history: host weather on the
+        # shared 1-core host moves single samples ~25% run to run (VERDICT
+        # r4 weak #6) — the band is the honest cross-round figure
+        lo, hi = out["decode_cpu_ms_per_img_range"]
+        out["host_cores_to_feed_chip_range"] = [
+            round(value * lo / 1000.0, 1), round(value * hi / 1000.0, 1)
+        ]
     line = {
         "metric": "rn50_zeroshot_eval_imgs_per_sec_per_chip",
         "value": value if value is not None else 0.0,
@@ -435,6 +500,9 @@ def main(sections=None) -> None:
         s for s in os.environ.get("HGR_BENCH_SECTIONS", ",".join(SECTIONS)).split(",")
         if s
     ]
+    # stamp sections on the watchdog's clock when launched by it (Linux
+    # CLOCK_MONOTONIC is system-wide, so child stamps are comparable)
+    t0 = float(os.environ.get("HGR_BENCH_T0") or time.monotonic())
     out: dict = {}
     fns = {"calib": sec_calib, "eval": sec_eval, "vit": sec_vit,
            "pipeline": sec_pipeline, "train": sec_train,
@@ -442,15 +510,99 @@ def main(sections=None) -> None:
     for s in sections:
         try:
             fns[s](out)
+            out.setdefault("section_done_s", {})[s] = round(
+                time.monotonic() - t0, 1
+            )
         except Exception as e:  # a section crash must not kill later ones
             # (observed: transient "TPU backend error (InvalidArgument)"
             # mid-run; the watchdog retries whatever is missing)
             print(f"# section {s} failed in-process: "
                   f"{type(e).__name__}: {str(e)[-200:]}", flush=True)
+        # persist the starvation-prone values the moment they exist — ANY
+        # successful run (incl. manual section runs) seeds the sidecar
+        _sidecar_update(out)
         # incremental partial line: if the watchdog kills this child
         # mid-section, everything completed so far is still harvested
         print("#partial " + json.dumps(out), flush=True)
     _emit(out)
+
+
+# ---------------------------------------------------------------------------
+# sidecar: cross-run persistence for the starvation-prone numbers
+# ---------------------------------------------------------------------------
+
+# optional-section values worth carrying across runs: measured once in any
+# healthy tunnel phase, they stay valid until the train step itself changes
+SIDECAR_KEYS = (
+    "train_imgs_per_sec_b512", "train_step_ms_b512",
+    "train_imgs_per_sec_b1024", "train_step_ms_b1024",
+    "coop_train_imgs_per_sec", "coop_train_step_ms",
+)
+_DECODE_SAMPLES_MAX = 12
+
+
+def _sidecar_path() -> str:
+    return os.environ.get(
+        "HGR_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SIDECAR.json"),
+    )
+
+
+def _sidecar_load() -> dict:
+    try:
+        with open(_sidecar_path()) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _sidecar_update(out: dict) -> None:
+    """Persist freshly measured optional-section values (+ a rolling window
+    of decode-cost samples, so the host-feed figure can be reported as the
+    measured RANGE instead of keying on the latest run's weather)."""
+    sc = _sidecar_load()
+    now = time.strftime("%Y-%m-%dT%H:%M:%S")
+    changed = False
+    for k in SIDECAR_KEYS:
+        if k in out and (sc.get(k, {}).get("value") != out[k]):
+            sc[k] = {"value": out[k], "captured": now}
+            changed = True
+    hist = sc.get("decode_cpu_ms_per_img_samples", [])
+    sample = out.get("decode_cpu_ms_per_img")
+    # dedupe consecutive: merge() re-runs on every child, same dict
+    if sample is not None and (not hist or hist[-1] != sample):
+        sc["decode_cpu_ms_per_img_samples"] = (
+            hist + [sample]
+        )[-_DECODE_SAMPLES_MAX:]
+        changed = True
+    if changed:
+        try:
+            with open(_sidecar_path(), "w") as f:
+                json.dump(sc, f, indent=1, sort_keys=True)
+        except OSError as e:
+            print(f"# sidecar write failed: {e}", flush=True)
+
+
+def _sidecar_fill(out: dict) -> None:
+    """Fill optional keys this run failed to measure from the sidecar, with
+    provenance (``sidecar_filled: {key: capture-date}``); derive the
+    decode-cost range across the sample history."""
+    sc = _sidecar_load()
+    filled = {}
+    for k in SIDECAR_KEYS:
+        if k not in out and isinstance(sc.get(k), dict) and "value" in sc[k]:
+            out[k] = sc[k]["value"]
+            filled[k] = sc[k].get("captured", "?")
+    if filled:
+        out["sidecar_filled"] = filled
+    hist = list(sc.get("decode_cpu_ms_per_img_samples", []))
+    if "decode_cpu_ms_per_img" in out:
+        hist.append(out["decode_cpu_ms_per_img"])
+    if hist:
+        out["decode_cpu_ms_per_img_range"] = [
+            round(min(hist), 3), round(max(hist), 3)
+        ]
 
 
 # ---------------------------------------------------------------------------
@@ -551,14 +703,21 @@ def _run_with_watchdog() -> None:
             # not silently ship a truncated curve
             "trainsweep": "train_imgs_per_sec_b1024",
             "coop": "coop_train_imgs_per_sec"}
-    # calib first (cheap, doubles as a health yardstick); the big-compile
-    # extras (batch sweep, coop) run LAST so a timeout costs only them
-    order = ["calib", "eval", "train", "vit", "pipeline", "trainsweep",
-             "coop"]
+    # calib first (cheap, doubles as a health yardstick). trainsweep/coop
+    # get their slot right after their prerequisite (train) INSIDE the
+    # combined pass — two rounds running they were last in line and starved
+    # (r03/r04 tails: "skipping retry ... budget exhausted"); vit/pipeline
+    # land reliably from cheap retries, the big train compiles do not.
+    order = ["calib", "eval", "train", "trainsweep", "coop", "vit",
+             "pipeline"]
     # optional sections are never worth burning the core sections' retry
-    # budget on: they retry only with leftover time
+    # budget on: they retry only with leftover time (the sidecar carries
+    # their last good measurement across runs either way)
     optional = {"trainsweep", "coop"}
     attempts = {s: 0 for s in order}
+    t_start = time.monotonic()
+    os.environ["HGR_BENCH_T0"] = str(t_start)  # children stamp on this clock
+    done_s: dict = {}
 
     def bump(sections):
         for s in sections:
@@ -567,11 +726,25 @@ def _run_with_watchdog() -> None:
     def missing(d):
         return [s for s in order if need[s] not in d]
 
+    def merge(res):
+        """Fold a child's results into ``out``; stamp completion times and
+        persist the starvation-prone values to the sidecar."""
+        if res:
+            # children stamp their own sections on the shared monotonic
+            # clock (HGR_BENCH_T0); fall back to merge time for any section
+            # whose value arrived without a stamp
+            for s, t in (res.pop("section_done_s", None) or {}).items():
+                done_s.setdefault(s, t)
+            out.update(res)
+            for s in order:
+                if need[s] in out and s not in done_s:
+                    done_s[s] = round(time.monotonic() - t_start, 1)
+            _sidecar_update(out)
+
     out: dict = {}
     bump(order)
     res, note = _child(order, max(min(left() - 60.0, 460.0), 120.0))
-    if res:
-        out.update(res)
+    merge(res)
     done = [s for s in order if s not in missing(out)]
     print(f"# combined pass ({note}): landed {done or 'nothing'}", flush=True)
 
@@ -588,8 +761,7 @@ def _run_with_watchdog() -> None:
         if left() > 140:
             bump(order)
             res, note = _child(order, left() - 60.0)
-            if res:
-                out.update(res)
+            merge(res)
             done = [s for s in order if s not in missing(out)]
             print(f"# combined pass 2 ({note}): landed {done or 'nothing'}",
                   flush=True)
@@ -610,8 +782,7 @@ def _run_with_watchdog() -> None:
                 continue
             bump([s])
             res, note = _child([s], min(retry_t[s], max(left() - 10, 30)))
-            if res:
-                out.update(res)
+            merge(res)
             if need[s] in out:
                 print(f"# retry of {s}: landed", flush=True)
             else:
@@ -640,7 +811,22 @@ def _run_with_watchdog() -> None:
     # secondary extras, then the big-compile optional ones with leftover
     retry([s for s in missing(out) if s in ("vit", "pipeline")])
     retry([s for s in missing(out) if s in optional])
+
+    # calibration brackets the run (VERDICT r4 #2): a second calib point at
+    # pass END, so a start-degraded/end-healthy run (r04's exact shape) is
+    # classifiable from the artifact alone
+    if left() > 30:
+        res, note = _child(["calib"], min(60, max(left() - 5, 20)))
+        if res and "calib_tflops" in res:
+            out.setdefault("calib_tflops", res["calib_tflops"])
+            out["calib_tflops_end"] = res["calib_tflops"]
+            done_s["calib_end"] = round(time.monotonic() - t_start, 1)
+        else:
+            print(f"# end calib failed ({note})", flush=True)
+
+    _sidecar_fill(out)
     out["section_attempts"] = attempts
+    out["section_done_s"] = done_s
     _emit(dict(out))
 
 

@@ -407,8 +407,12 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
             logger.log_text(
                 f"resumed full state from {ckpt} (step {int(state.step)})"
             )
+    # frozen subtrees are stop-gradient'd in the step so their backward is
+    # DCE'd (ctx-only CoOp skips the whole image-encoder backward)
+    frozen = tuple(k for k, v in (extra_labels or {}).items() if v == "frozen")
     step_fn = make_train_step(config, tm.clip_cfg, tx, dtype=tm.dtype,
-                              donate=config.donate, text_fn=text_fn)
+                              donate=config.donate, text_fn=text_fn,
+                              frozen=frozen)
 
     sampler = NegativeSampler(
         tm.hier,
@@ -442,7 +446,7 @@ def run_train(config: Config, tm: TreeModel, splits, logger: RunLogger) -> Any:
         if n_replicas > 1:
             spmd_step = make_spmd_train_step(
                 config, tm.clip_cfg, tx, mesh, dtype=tm.dtype,
-                donate=config.donate, text_fn=text_fn,
+                donate=config.donate, text_fn=text_fn, frozen=frozen,
             )
             # every step consumes n_replicas batches; round the episode
             # count UP so no batch is silently dropped (the reference's

@@ -133,9 +133,15 @@ def coop_encode_text(
     return pooled @ tp["text_projection"].astype(dtype)
 
 
-def make_coop_text_fn(static: CoopStatic, cfg: CLIPConfig, dtype=jnp.bfloat16):
+def make_coop_text_fn(static: CoopStatic, cfg: CLIPConfig, dtype=jnp.bfloat16,
+                      remat: bool = False):
     """Text-feature fn for the OM loss / classifier bank: maps class ids ->
-    normalized features through the prompt learner."""
+    normalized features through the prompt learner.
+
+    ``remat`` rematerializes the transformer blocks exactly like the
+    standard text path — without it the prompt-learner backward keeps every
+    text-transformer activation live, which at reference scale (batch 256,
+    ~300-prompt compare sets) pushed the CoOp train step out of HBM."""
     tokenized = jnp.asarray(static.tokenized)
     ctx_map = jnp.asarray(static.ctx_map)
 
@@ -147,6 +153,7 @@ def make_coop_text_fn(static: CoopStatic, cfg: CLIPConfig, dtype=jnp.bfloat16):
             ctx_map[ids],
             cfg,
             dtype=dtype,
+            remat=remat,
         )
         return l2_normalize(feats)
 

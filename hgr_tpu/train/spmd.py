@@ -72,12 +72,17 @@ def make_spmd_train_step(
     dtype=jnp.bfloat16,
     donate: bool = True,
     text_fn: Callable = None,
+    frozen: tuple = (),
 ) -> Callable:
     """-> jitted ``step(state, images [R,B,...], node_tokens, sched [R,...])``.
 
     ``R`` must equal the mesh's ``data`` axis size; images/schedules are
     sharded one replica per data-axis slot, params/opt replicated. Encoder
     passes are resharded over ``(data, model)`` internally (see module doc).
+    ``frozen`` top-level param keys are stop-gradient'd inside the loss so
+    their backward is dead-code-eliminated (see trainer.make_train_step —
+    without this the ctx-only CoOp step runs the full frozen-CLIP backward
+    for gradients the optimizer zeroes).
     """
     in_mode, out_mode = resolve_weight_modes(
         config.training_method, config.weights, config.weighting
@@ -124,9 +129,14 @@ def make_spmd_train_step(
         return per_replica.mean()
 
     def step(state: TrainState, images, node_tokens, sched):
-        loss, grads = jax.value_and_grad(mean_loss)(
-            state.params, images, node_tokens, sched
-        )
+        def wrapped(params):
+            if frozen:
+                params = dict(params)
+                for k in frozen:
+                    params[k] = jax.lax.stop_gradient(params[k])
+            return mean_loss(params, images, node_tokens, sched)
+
+        loss, grads = jax.value_and_grad(wrapped)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

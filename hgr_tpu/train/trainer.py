@@ -87,8 +87,18 @@ def make_train_step(
     dtype=jnp.bfloat16,
     donate: bool = True,
     text_fn: Callable = None,
+    frozen: tuple = (),
 ) -> Callable:
-    """-> jitted ``step(state, images, node_tokens, sched) -> (state, loss)``."""
+    """-> jitted ``step(state, images, node_tokens, sched) -> (state, loss)``.
+
+    ``frozen`` names top-level param keys whose subtree is stop-gradient'd
+    inside the loss (matching their ``"frozen"`` optimizer label). This is
+    load-bearing, not cosmetic: with ``frozen=("clip",)`` (CoOp ctx-only
+    training) XLA dead-code-eliminates the ENTIRE image-encoder backward and
+    every frozen weight-gradient — without it the full RN50 backward runs
+    only to produce gradients the optimizer zeroes, and the CoOp step at
+    reference scale does not fit HBM.
+    """
     loss_fn = make_om_loss_fn(
         clip_cfg,
         dtype,
@@ -100,9 +110,14 @@ def make_train_step(
     )
 
     def step(state: TrainState, images, node_tokens, sched):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, images, node_tokens, sched
-        )
+        def wrapped(params):
+            if frozen:
+                params = dict(params)
+                for k in frozen:
+                    params[k] = jax.lax.stop_gradient(params[k])
+            return loss_fn(params, images, node_tokens, sched)
+
+        loss, grads = jax.value_and_grad(wrapped)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

@@ -322,10 +322,13 @@ class TreeModel:
         )
         return static, ctx
 
-    def coop_text_fn(self, static):
+    def coop_text_fn(self, static, remat: bool = None):
         from .models.coop import make_coop_text_fn
 
-        return make_coop_text_fn(static, self.clip_cfg, dtype=self.dtype)
+        if remat is None:
+            remat = getattr(self.config, "remat", False)
+        return make_coop_text_fn(static, self.clip_cfg, dtype=self.dtype,
+                                 remat=remat)
 
     def eval_step(
         self, params, bank, images, target: int, valid=None

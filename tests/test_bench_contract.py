@@ -54,9 +54,11 @@ def test_parse_partials_takes_last_cumulative_line():
     assert bench._parse_partials("no partials here") is None
 
 
-def _run_watchdog_capture(monkeypatch, child_fn, budget="520",
+def _run_watchdog_capture(monkeypatch, child_fn, tmp_path, budget="520",
                           probe=lambda timeout_s=60.0: True):
     monkeypatch.setenv("HGR_BENCH_BUDGET_S", budget)
+    # keep sidecar writes out of the repo during tests
+    monkeypatch.setenv("HGR_BENCH_SIDECAR", str(tmp_path / "sidecar.json"))
     monkeypatch.setattr(bench, "_child", child_fn)
     monkeypatch.setattr(bench, "_probe_tunnel", probe)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
@@ -77,32 +79,48 @@ def _full_result():
     }
 
 
-def test_watchdog_single_combined_pass(monkeypatch):
+def test_watchdog_single_combined_pass(monkeypatch, tmp_path):
     """Everything lands on the first combined child: one attempt per
-    section, no retries, section_attempts recorded in the artifact."""
+    section, only the bracketing end-calib child follows, section_attempts
+    and completion timestamps recorded in the artifact."""
     calls = []
 
     def child(sections, timeout_s):
         calls.append(list(sections))
+        if sections == ["calib"]:  # the bracketing end-calib child
+            return {"calib_tflops": 147.0}, "ok"
         return _full_result(), "ok"
 
-    line, _ = _run_watchdog_capture(monkeypatch, child)
-    assert len(calls) == 1  # no retry children spawned
+    line, _ = _run_watchdog_capture(monkeypatch, child, tmp_path)
+    assert calls == [
+        # trainsweep/coop get their combined-pass slot right after train
+        # (VERDICT r4 #1 — starved two rounds running when last in line)
+        ["calib", "eval", "train", "trainsweep", "coop", "vit", "pipeline"],
+        ["calib"],
+    ]
     assert line["value"] == 8400.0 and line["status"] == "ok"
     assert line["extra"]["section_attempts"] == {
         s: 1 for s in bench.SECTIONS
     }
+    assert line["extra"]["calib_tflops_end"] == 147.0
+    done = line["extra"]["section_done_s"]
+    assert set(done) == set(bench.SECTIONS) | {"calib_end"}
 
 
-def test_watchdog_retries_only_missing_sections(monkeypatch):
-    """A combined pass that loses its tail gets per-section retries for
-    exactly the missing sections — core ones before optional ones — and a
-    truncated batch sweep (b512 landed, b1024 missing) re-runs."""
+def test_watchdog_retries_only_missing_sections(monkeypatch, tmp_path):
+    """A combined pass that loses sections gets per-section retries for
+    exactly the missing ones — secondary before optional — and a truncated
+    batch sweep (b512 landed, b1024 missing) re-runs."""
     partial = _full_result()
     del partial["coop_train_imgs_per_sec"]
     del partial["train_imgs_per_sec_b1024"]  # b512 alone must NOT count
     del partial["e2e_eval_imgs_per_sec"]
     calls = []
+
+    bench_need = {"pipeline": "e2e_eval_imgs_per_sec",
+                  "trainsweep": "train_imgs_per_sec_b1024",
+                  "coop": "coop_train_imgs_per_sec",
+                  "calib": "calib_tflops"}
 
     def child(sections, timeout_s):
         calls.append(list(sections))
@@ -111,18 +129,16 @@ def test_watchdog_retries_only_missing_sections(monkeypatch):
         (s,) = sections
         return {bench_need[s]: 1.0}, "ok"
 
-    bench_need = {"pipeline": "e2e_eval_imgs_per_sec",
-                  "trainsweep": "train_imgs_per_sec_b1024",
-                  "coop": "coop_train_imgs_per_sec"}
-    line, _ = _run_watchdog_capture(monkeypatch, child)
-    # core retry (pipeline) precedes the optional ones (trainsweep, coop)
-    assert calls[1:] == [["pipeline"], ["trainsweep"], ["coop"]]
+    line, _ = _run_watchdog_capture(monkeypatch, child, tmp_path)
+    # secondary retry (pipeline) precedes the optional ones, end calib last
+    assert calls[1:] == [["pipeline"], ["trainsweep"], ["coop"], ["calib"]]
     att = line["extra"]["section_attempts"]
     assert att["pipeline"] == att["trainsweep"] == att["coop"] == 2
     assert att["eval"] == att["calib"] == 1
 
 
-def test_watchdog_headline_retry_precedes_secondary_sections(monkeypatch):
+def test_watchdog_headline_retry_precedes_secondary_sections(monkeypatch,
+                                                            tmp_path):
     """In a degraded-tunnel window the remaining budget goes to the judged
     headline FIRST: the eval re-measure must run before the vit/pipeline/
     trainsweep/coop retries (r04 shipped a 152 imgs/s headline with status
@@ -139,13 +155,14 @@ def test_watchdog_headline_retry_precedes_secondary_sections(monkeypatch):
             return {"eval_imgs_per_sec": 8400.0}, "ok"
         return None, "timeout"  # vit/pipeline/... stay doomed
 
-    line, _ = _run_watchdog_capture(monkeypatch, child)
+    line, _ = _run_watchdog_capture(monkeypatch, child, tmp_path)
     assert calls[1] == ["eval"]  # gate fires before any secondary retry
     assert line["value"] == 8400.0 and line["status"] == "ok"
     assert line["extra"]["section_attempts"]["eval"] == 2
+    assert "calib_tflops_end" not in line["extra"]  # end calib was doomed
 
 
-def test_watchdog_remeasures_degraded_headline(monkeypatch):
+def test_watchdog_remeasures_degraded_headline(monkeypatch, tmp_path):
     """A tunnel-degraded headline (< 4000 imgs/s) is re-measured and the
     MAX is kept — throughput is a peak-capability number."""
     res = _full_result()
@@ -153,8 +170,75 @@ def test_watchdog_remeasures_degraded_headline(monkeypatch):
     seq = [(res, "ok"), ({"eval_imgs_per_sec": 8400.0}, "ok")]
 
     def child(sections, timeout_s):
-        return seq.pop(0)
+        if seq:
+            return seq.pop(0)
+        return {"calib_tflops": 148.0}, "ok"  # end calib
 
-    line, _ = _run_watchdog_capture(monkeypatch, child)
+    line, _ = _run_watchdog_capture(monkeypatch, child, tmp_path)
     assert line["value"] == 8400.0
     assert line["extra"]["section_attempts"]["eval"] == 2
+
+
+def test_watchdog_fills_optional_sections_from_sidecar(monkeypatch, tmp_path):
+    """Optional-section values measured in an earlier run survive into this
+    run's artifact when its own optional sections are starved out, with
+    provenance (VERDICT r4 #1: a number captured once must stop vanishing)."""
+    sc = tmp_path / "sidecar.json"
+    json.dump({
+        "coop_train_imgs_per_sec": {"value": 712.5,
+                                    "captured": "2026-08-19T10:00:00"},
+        "train_imgs_per_sec_b1024": {"value": 1290.0,
+                                     "captured": "2026-08-19T10:00:00"},
+        "decode_cpu_ms_per_img_samples": [1.78, 2.27],
+    }, open(sc, "w"))
+
+    starved = _full_result()
+    del starved["coop_train_imgs_per_sec"]
+    del starved["train_imgs_per_sec_b1024"]
+    starved["decode_cpu_ms_per_img"] = 1.9
+
+    def child(sections, timeout_s):
+        if sections == ["calib"]:
+            return {"calib_tflops": 148.0}, "ok"
+        if len(sections) > 1:
+            return dict(starved), "timeout"
+        return None, "timeout"  # optional retries stay doomed
+
+    line, _ = _run_watchdog_capture(monkeypatch, child, tmp_path)
+    ex = line["extra"]
+    assert ex["coop_train_imgs_per_sec"] == 712.5
+    assert ex["train_imgs_per_sec_b1024"] == 1290.0
+    assert set(ex["sidecar_filled"]) == {
+        "coop_train_imgs_per_sec", "train_imgs_per_sec_b1024"
+    }
+    # decode range spans the sample history + this run's sample
+    assert ex["decode_cpu_ms_per_img_range"] == [1.78, 2.27]
+    assert ex["host_cores_to_feed_chip_range"] == [
+        round(8400.0 * 1.78 / 1000, 1), round(8400.0 * 2.27 / 1000, 1)
+    ]
+
+
+def test_sidecar_update_roundtrip(monkeypatch, tmp_path):
+    """Freshly measured optional values + decode samples persist and fill a
+    later run; measured-this-run keys are never overwritten by the fill."""
+    monkeypatch.setenv("HGR_BENCH_SIDECAR", str(tmp_path / "sc.json"))
+    bench._sidecar_update({
+        "coop_train_imgs_per_sec": 700.0, "coop_train_step_ms": 365.0,
+        "decode_cpu_ms_per_img": 2.05,
+    })
+    bench._sidecar_update({"decode_cpu_ms_per_img": 1.81})
+
+    out = {"coop_train_imgs_per_sec": 731.0}  # measured this run
+    bench._sidecar_fill(out)
+    assert out["coop_train_imgs_per_sec"] == 731.0  # not clobbered
+    assert out["coop_train_step_ms"] == 365.0       # filled
+    assert out["sidecar_filled"] == {
+        "coop_train_step_ms": bench._sidecar_load()["coop_train_step_ms"]["captured"]
+    }
+    assert out["decode_cpu_ms_per_img_range"] == [1.81, 2.05]
+
+    # a corrupt sidecar degrades to "nothing to fill", never a crash
+    (tmp_path / "sc.json").write_text("{not json")
+    out2 = {}
+    bench._sidecar_fill(out2)
+    assert "sidecar_filled" not in out2
