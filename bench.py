@@ -531,12 +531,21 @@ def main(sections=None) -> None:
 # sidecar: cross-run persistence for the starvation-prone numbers
 # ---------------------------------------------------------------------------
 
-# optional-section values worth carrying across runs: measured once in any
-# healthy tunnel phase, they stay valid until the train step itself changes
+# section values worth carrying across runs: measured once in any healthy
+# tunnel phase, they stay valid until the code measured changes. The judged
+# headline (eval) and its health yardsticks (calib, train) are deliberately
+# NOT here — those must be fresh every artifact; the retry ladder re-runs
+# sections before the fill backstops them, so a filled value only appears
+# when this run genuinely failed to measure it (and is marked as such).
 SIDECAR_KEYS = (
     "train_imgs_per_sec_b512", "train_step_ms_b512",
-    "train_imgs_per_sec_b1024", "train_step_ms_b1024",
+    "train_imgs_per_sec_b1024", "train_step_ms_b1024", "train_b1024_mode",
     "coop_train_imgs_per_sec", "coop_train_step_ms",
+    "vit_b32_eval_imgs_per_sec",
+    "loader_imgs_per_sec", "loader_imgs_per_sec_per_core", "host_cores",
+    "cached_loader_imgs_per_sec", "mp_loader_imgs_per_sec",
+    "decode_cpu_ms_per_img", "e2e_eval_imgs_per_sec",
+    "e2e_cached_eval_imgs_per_sec",
 )
 _DECODE_SAMPLES_MAX = 12
 

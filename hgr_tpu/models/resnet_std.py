@@ -41,15 +41,22 @@ def _block_init(key, cin: int, planes: int, stride: int) -> Params:
     return p
 
 
-def _block_apply(p: Params, x, stride: int):
-    out = jax.nn.relu(batch_norm(p["bn1"], conv2d(p["conv1"], x)))
+def _bn_eval(p: Params, x, path: str):
+    return batch_norm(p, x)
+
+
+def _block_apply(p: Params, x, stride: int, bn=_bn_eval, path: str = ""):
+    out = jax.nn.relu(bn(p["bn1"], conv2d(p["conv1"], x), f"{path}/bn1"))
     out = jax.nn.relu(
-        batch_norm(p["bn2"], conv2d(p["conv2"], out, stride=stride, padding=1))
+        bn(p["bn2"], conv2d(p["conv2"], out, stride=stride, padding=1),
+           f"{path}/bn2")
     )
-    out = batch_norm(p["bn3"], conv2d(p["conv3"], out))
+    out = bn(p["bn3"], conv2d(p["conv3"], out), f"{path}/bn3")
     if "downsample" in p:
-        idn = batch_norm(
-            p["downsample"]["bn"], conv2d(p["downsample"]["conv"], x, stride=stride)
+        idn = bn(
+            p["downsample"]["bn"],
+            conv2d(p["downsample"]["conv"], x, stride=stride),
+            f"{path}/downsample/bn",
         )
     else:
         idn = x
@@ -102,6 +109,76 @@ def resnet50_features(p: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndar
 def resnet50_logits(p: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     f = resnet50_features(p, x, dtype)
     return f @ p["fc"]["w"].astype(f.dtype) + p["fc"]["b"].astype(f.dtype)
+
+
+def bn_train(bp: Params, y: jnp.ndarray, momentum: float = 0.1):
+    """Train-mode BatchNorm: normalize with the BIASED batch variance,
+    update running stats with the UNBIASED one at ``momentum`` — exactly
+    ``torch.nn.BatchNorm2d.train()`` semantics (pinned by
+    ``tests/test_refit.py`` against torch). Returns
+    ``(out, {"mean", "var"})`` with the momentum-folded running stats."""
+    yf = y.astype(jnp.float32)
+    mean = yf.mean(axis=(0, 1, 2))
+    var = yf.var(axis=(0, 1, 2))  # biased: what torch normalizes with
+    inv = jax.lax.rsqrt(var + 1e-5) * bp["scale"]
+    out = (y * inv.astype(y.dtype)) + (bp["bias"] - mean * inv).astype(y.dtype)
+    n = y.shape[0] * y.shape[1] * y.shape[2]
+    unbiased = var * (n / max(n - 1, 1))
+    return out, {
+        "mean": (1 - momentum) * bp["mean"] + momentum * mean,
+        "var": (1 - momentum) * bp["var"] + momentum * unbiased,
+    }
+
+
+def resnet50_features_train(
+    p: Params, x: jnp.ndarray, dtype=jnp.bfloat16, momentum: float = 0.1
+):
+    """Train-mode forward: BN normalizes with BATCH statistics and the
+    momentum-updated running stats are returned — torch ``BatchNorm2d``
+    train semantics (normalize with biased batch var, update running var
+    with the unbiased one, default momentum 0.1). The reference's stage-A'
+    refit trains the backbone in exactly this mode
+    (``baseline/DGP/train_resnet_fit.py:55`` ``model.train()``).
+
+    Returns ``(features [B, 2048], bn_stats)`` where ``bn_stats`` maps
+    slash-paths (e.g. ``layer2/0/downsample/bn``) to
+    ``{"mean": ..., "var": ...}`` — apply with :func:`apply_bn_stats`.
+    """
+    stats: Dict[str, Any] = {}
+
+    def bn(bp, y, path):
+        out, stats[path] = bn_train(bp, y, momentum)
+        return out
+
+    x = x.astype(dtype)
+    x = jax.nn.relu(
+        bn(p["bn1"], conv2d(p["conv1"], x, stride=2, padding=3), "bn1")
+    )
+    x = _max_pool_3x3s2(x)
+    for li, blocks in enumerate(LAYERS_50, start=1):
+        for b in range(blocks):
+            stride = 2 if (li > 1 and b == 0) else 1
+            x = _block_apply(
+                p[f"layer{li}"][b], x, stride, bn=bn,
+                path=f"layer{li}/{b}",
+            )
+    return x.mean(axis=(1, 2)), stats
+
+
+def apply_bn_stats(p: Params, stats: Dict[str, Any]) -> Params:
+    """Fold :func:`resnet50_features_train`'s running-stat updates back into
+    a param tree (pure: returns a new tree; ``mean``/``var`` buffers only)."""
+    out = jax.tree_util.tree_map(lambda v: v, p)  # shallow-ish copy
+    for path, upd in stats.items():
+        node = out
+        parts = path.split("/")
+        for part in parts[:-1]:
+            key = int(part) if part.isdigit() else part
+            node = node[key]
+        bp = dict(node[parts[-1]])
+        bp["mean"], bp["var"] = upd["mean"], upd["var"]
+        node[parts[-1]] = bp
+    return out
 
 
 def convert_torch_resnet(sd: Dict[str, Any]) -> Params:

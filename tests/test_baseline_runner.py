@@ -167,6 +167,9 @@ def real_image_problem(tmp_path_factory):
     manifest_path = root / "test_split.json"
     json.dump({c: grouped_all[c] for c in splits["rest"]},
               open(manifest_path, "w"))
+    train_manifest_path = root / "train_split.json"
+    json.dump({c: grouped_all[c] for c in splits["train"]},
+              open(train_manifest_path, "w"))
 
     params = resnet50_init(jax.random.PRNGKey(0))
     cnn_path = root / "backbone"
@@ -196,6 +199,7 @@ def real_image_problem(tmp_path_factory):
         "split_path": str(split_path),
         "image_root": str(img_root),
         "manifest": str(manifest_path),
+        "train_manifest": str(train_manifest_path),
         "cnn": str(cnn_path),
         "protos": str(protos_path),
         "n_test_images": per_class * len(splits["rest"]),
@@ -338,6 +342,82 @@ def test_gcn_save_path_roundtrips_pred_artifacts(tmp_path):
     p = inject_fc({"dummy": None}, pred)
     assert p["fc"]["w"].shape == (pred.shape[1] - 1, pred.shape[0])
     assert p["fc"]["b"].shape == (pred.shape[0],)
+
+
+def test_gcn_refit_backbone_stage_a_prime(real_image_problem, tmp_path):
+    """VERDICT r4 #3 — DGP stage-A' (train_resnet_fit.py:43-101): after GCN
+    stage A the ResNet base retrains on real seen-class JPEGs under the
+    FROZEN predicted classifier, stage-B eval featurizes with the REFIT
+    backbone, and the refit artifact (params + trlog) round-trips."""
+    p = real_image_problem
+    save = tmp_path / "gcn_run"
+    s = main(_real_args(p) + [
+        "--variant", "basic", "--image_root", p["image_root"],
+        "--cnn", p["cnn"], "--train_manifest", p["train_manifest"],
+        "--refit_backbone", "--refit_steps", "4", "--refit_batch", "8",
+        "--save_path", str(save),
+    ])
+    assert s["num_samples"] == p["n_test_images"]
+    for k in ("hit@1", "hit@2", "tor", "path_ratio", "point_ratio"):
+        assert k in s and np.isfinite(s[k])
+
+    from hgr_tpu.utils.checkpoint import load_pytree
+
+    art = load_pytree(str(save) + "_refit")
+    assert np.isfinite(np.asarray(art["trlog"]["step_loss"])).all()
+    assert len(art["trlog"]["step_loss"]) == 4
+    # the frozen fc is the stage-A prediction for the SEEN classes
+    assert np.asarray(art["params"]["fc"]["w"]).shape == (2048, 15)
+
+
+def test_refit_backbone_guards(real_image_problem):
+    """Inconsistent refit inputs fail loudly (the same guard family the
+    other baselines got): wrong baseline, missing train inputs, and a
+    feature file from the un-refit backbone."""
+    p = real_image_problem
+    with pytest.raises(SystemExit):
+        main(_real_args(p, baseline="cnzsl") + [
+            "--feature_file", p["features_all"], "--refit_backbone",
+        ])
+    with pytest.raises(SystemExit):  # no --train_manifest
+        main(_real_args(p) + [
+            "--variant", "basic", "--image_root", p["image_root"],
+            "--cnn", p["cnn"], "--refit_backbone",
+        ])
+    with pytest.raises(SystemExit):  # stale features vs refit CNN
+        main(_real_args(p) + [
+            "--variant", "basic", "--image_root", p["image_root"],
+            "--cnn", p["cnn"], "--train_manifest", p["train_manifest"],
+            "--feature_file", p["features_all"], "--refit_backbone",
+        ])
+
+
+def test_clip_flat_runner_real_images(real_image_problem):
+    """VERDICT r4 #4: the runner's clip_flat trains AND evaluates on real
+    on-disk JPEGs when real inputs are given — the reference's CLIP-flat
+    baseline runs on real batches (clip_train.py:205-223)."""
+    p = real_image_problem
+    base = [
+        "--baseline", "clip_flat", "--synthetic", "False",
+        "--graph_path", p["graph_path"], "--split_path", p["split_path"],
+        "--steps", "6", "--batch", "8", "--eval_batch", "4",
+        "--arch", "TEST-RN",
+    ]
+    s = main(base + [
+        "--image_root", p["image_root"], "--manifest", p["manifest"],
+        "--train_manifest", p["train_manifest"],
+    ])
+    assert s["num_samples"] == p["n_test_images"]
+    for k in ("hit@1", "tor", "path_ratio", "point_ratio"):
+        assert k in s and np.isfinite(s[k])
+
+    # a PARTIAL real-input set is refused loudly, never silently
+    # downgraded to synthetic images (the r04 behaviour)
+    with pytest.raises(SystemExit):
+        main(base + ["--image_root", p["image_root"],
+                     "--manifest", p["manifest"]])
+    with pytest.raises(SystemExit):
+        main(base + ["--feature_file", p["features_all"]])
 
 
 def test_featurizer_preprocess_matches_torchvision_eval_transform():

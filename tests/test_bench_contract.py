@@ -232,9 +232,11 @@ def test_sidecar_update_roundtrip(monkeypatch, tmp_path):
     bench._sidecar_fill(out)
     assert out["coop_train_imgs_per_sec"] == 731.0  # not clobbered
     assert out["coop_train_step_ms"] == 365.0       # filled
-    assert out["sidecar_filled"] == {
-        "coop_train_step_ms": bench._sidecar_load()["coop_train_step_ms"]["captured"]
+    # the latest decode sample is also carried (it is a sidecar key)
+    assert set(out["sidecar_filled"]) == {
+        "coop_train_step_ms", "decode_cpu_ms_per_img"
     }
+    assert out["decode_cpu_ms_per_img"] == 1.81
     assert out["decode_cpu_ms_per_img_range"] == [1.81, 2.05]
 
     # a corrupt sidecar degrades to "nothing to fill", never a crash
