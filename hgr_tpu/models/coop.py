@@ -97,6 +97,17 @@ def build_coop_static(
         row = [sot_id] + body_tokens + [eot_id]
         toks[i, : len(row)] = row
         cmap[i, 1 : 1 + len(body_ctx)] = body_ctx
+    # EXACT truncation, same argument as the node-token bank
+    # (tree_model.py): with a causal mask and EOT pooling, positions past
+    # a prompt's EOT can never influence its feature. CoOp prompts are
+    # sot + n_ctx + name + eot (~20-30 tokens), so dropping the
+    # all-padding tail cuts the prompt-learner transformer cost ~2.4x at
+    # T=77 (measured on-chip: the ctx-only CoOp step is text-dominated).
+    # Rounded up to a lane-friendly multiple of 16, like the node bank.
+    t_need = int(toks.argmax(axis=1).max()) + 1  # eot_id is the largest id
+    t_trunc = min(context_length, max(16, ((t_need + 15) // 16) * 16))
+    toks = np.ascontiguousarray(toks[:, :t_trunc])
+    cmap = np.ascontiguousarray(cmap[:, :t_trunc])
     return CoopStatic(tokenized=toks, ctx_map=cmap, n_ctx=n_ctx, position=position)
 
 

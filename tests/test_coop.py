@@ -81,6 +81,30 @@ def test_coop_equals_plain_encode_when_ctx_is_placeholder_embedding():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_coop_static_truncation_is_exact():
+    """build_coop_static drops the all-padding tail past the longest EOT
+    (rounded to a multiple of 16, like the node-token bank): with a causal
+    mask + EOT pooling the features must equal the full-77 layout's."""
+    rng = np.random.default_rng(3)
+    names = _names(rng, n=5)
+    params = clip_init(jax.random.PRNGKey(0), CFG)
+    st = build_coop_static(names, CFG.context_length, SOT, EOT, n_ctx=4)
+    T = st.tokenized.shape[1]
+    assert T < CFG.context_length and T % 16 == 0
+
+    full_t = np.zeros((len(names), CFG.context_length), np.int32)
+    full_t[:, :T] = st.tokenized
+    full_c = np.full((len(names), CFG.context_length), -1, np.int32)
+    full_c[:, :T] = st.ctx_map
+    ctx = coop_ctx_init(jax.random.PRNGKey(1), 4, CFG.transformer_width)
+    a = coop_encode_text(params, ctx, jnp.asarray(st.tokenized),
+                         jnp.asarray(st.ctx_map), CFG, dtype=jnp.float32)
+    b = coop_encode_text(params, ctx, jnp.asarray(full_t),
+                         jnp.asarray(full_c), CFG, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_ctx_receives_gradient():
     rng = np.random.default_rng(2)
     names = _names(rng, n=3)
