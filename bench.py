@@ -150,11 +150,22 @@ def _eval_rate(tm, hier, batch: int = BATCH, iters: int = 20) -> float:
 
 
 def sec_calib(out: dict) -> None:
-    """Big bf16 GEMM TFLOP/s — a device/tunnel health yardstick emitted in
-    every artifact so a headline drop across rounds can be attributed to
-    tunnel weather vs a real eval-step regression from the JSON alone
-    (VERDICT r3 weak-item 3). Stable phases measure ~148 TFLOP/s on v5e;
-    a degraded tunnel shows up here exactly as it does in the eval rate."""
+    """Device + tunnel health yardsticks emitted in every artifact so a
+    headline drop across rounds can be attributed to tunnel weather vs a
+    real eval-step regression from the JSON alone (VERDICT r3 weak-item 3).
+
+    - ``calib_tflops``: big bf16 GEMM throughput, max of 3 burst samples.
+      A single ~90 ms sample can be swallowed whole by a transient tunnel
+      stall (r05 observed 0.3 TFLOP/s beside sections running at full
+      speed seconds later — the stall ate the whole window); max-of-3 is
+      the peak-capability semantic the headline re-measure already uses.
+      Stable phases measure ~120-148 TFLOP/s on v5e.
+    - ``calib_dispatch_ms``: median tiny dispatch+fetch round-trip — the
+      TUNNEL yardstick, separated from device throughput. ~2.5 ms in the
+      best phases, tens of ms in mediocre ones, seconds when degraded.
+      Long sections amortize this; short ones (and single-batch serving)
+      do not, which is exactly the distinction the artifact needs to show.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -163,14 +174,31 @@ def sec_calib(out: dict) -> None:
     f = jax.jit(lambda x: x @ x)
     jax.block_until_ready(f(a))  # compile
     iters = 10
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(iters):
+            r = f(a)
+        np.asarray(r[0, 0])  # honest sync through the tunnel
+        dt = time.perf_counter() - t0
+        best = max(best, 2 * n**3 * iters / dt / 1e12)
+    out["calib_tflops"] = round(best, 1)
+    h = jax.jit(lambda s: s + 1.0)
+    s = jnp.float32(0)
+    np.asarray(h(s))  # compile
+    rts = sorted(
+        _timed_ms(lambda: np.asarray(h(s))) for _ in range(5)
+    )
+    out["calib_dispatch_ms"] = round(rts[2], 1)
+    print(f"# calib: big bf16 GEMM {out['calib_tflops']} TFLOP/s, "
+          f"dispatch {out['calib_dispatch_ms']} ms", flush=True)
+
+
+def _timed_ms(fn) -> float:
     t0 = time.perf_counter()
-    r = None
-    for _ in range(iters):
-        r = f(a)
-    np.asarray(r[0, 0])  # honest sync through the tunnel
-    dt = time.perf_counter() - t0
-    out["calib_tflops"] = round(2 * n**3 * iters / dt / 1e12, 1)
-    print(f"# calib: big bf16 GEMM {out['calib_tflops']} TFLOP/s", flush=True)
+    fn()
+    return (time.perf_counter() - t0) * 1000.0
 
 
 def sec_eval(out: dict) -> None:
@@ -829,6 +857,9 @@ def _run_with_watchdog() -> None:
         if res and "calib_tflops" in res:
             out.setdefault("calib_tflops", res["calib_tflops"])
             out["calib_tflops_end"] = res["calib_tflops"]
+            if "calib_dispatch_ms" in res:
+                out.setdefault("calib_dispatch_ms", res["calib_dispatch_ms"])
+                out["calib_dispatch_ms_end"] = res["calib_dispatch_ms"]
             done_s["calib_end"] = round(time.monotonic() - t_start, 1)
         else:
             print(f"# end calib failed ({note})", flush=True)

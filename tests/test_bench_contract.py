@@ -88,7 +88,7 @@ def test_watchdog_single_combined_pass(monkeypatch, tmp_path):
     def child(sections, timeout_s):
         calls.append(list(sections))
         if sections == ["calib"]:  # the bracketing end-calib child
-            return {"calib_tflops": 147.0}, "ok"
+            return {"calib_tflops": 147.0, "calib_dispatch_ms": 3.1}, "ok"
         return _full_result(), "ok"
 
     line, _ = _run_watchdog_capture(monkeypatch, child, tmp_path)
@@ -103,6 +103,8 @@ def test_watchdog_single_combined_pass(monkeypatch, tmp_path):
         s: 1 for s in bench.SECTIONS
     }
     assert line["extra"]["calib_tflops_end"] == 147.0
+    # the tunnel yardstick brackets too; the start point is not clobbered
+    assert line["extra"]["calib_dispatch_ms_end"] == 3.1
     done = line["extra"]["section_done_s"]
     assert set(done) == set(bench.SECTIONS) | {"calib_end"}
 
