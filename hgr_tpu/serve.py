@@ -156,3 +156,72 @@ class ZeroShotClassifier:
             if mp_pool is not None:
                 mp_pool.close()
         return out
+
+
+def main(argv=None) -> None:
+    """CLI serving entry: ``python -m hgr_tpu.serve IMG [IMG ...] [flags]``.
+
+    Serving-specific flags are parsed here; every other flag is forwarded to
+    the standard :class:`~hgr_tpu.config.Config` parser, so model/checkpoint
+    selection works exactly as in ``main.py`` (``--arch``, ``--graph_path``,
+    ``--load --load_path`` / ``--from_epoch``, ``--synthetic True`` for a
+    weightless smoke run, ...). Emits one JSON line per image:
+    ``{"image": ..., "topk": [{"wnid", "name", "score"}, ...]}``.
+
+    The reference stops at batch eval scripts (``main.py:104-222``); this is
+    new deployment surface, sharing the jitted bank/top-k path the evaluator
+    uses.
+    """
+    import argparse
+    import json as _json
+
+    parser = argparse.ArgumentParser(
+        "hgr_tpu.serve",
+        description="Zero-shot classify image files against the class bank.",
+    )
+    parser.add_argument("images", nargs="+", help="image files to classify")
+    parser.add_argument("--k", type=int, default=5, help="top-k to emit")
+    parser.add_argument(
+        "--candidates", default="all", choices=["all", "test", "train"],
+        help="restrict predictions (the reference ZSL protocol uses 'test')",
+    )
+    parser.add_argument("--image_root", default="", dest="serve_image_root",
+                        help="prefix joined to relative image paths")
+    parser.add_argument(
+        "--num_procs", type=int, default=0, dest="serve_num_procs",
+        help="decode in N worker processes (many-core serving hosts)",
+    )
+    ns, rest = parser.parse_known_args(argv)
+
+    from .config import Config
+    from .driver import build_hierarchy, build_model
+
+    import os as _os
+
+    config = Config.from_args(rest)
+    hier, splits = build_hierarchy(config)
+    tm = build_model(config, hier, splits)
+    clf = ZeroShotClassifier(tm, candidates=ns.candidates)
+    clf.refresh_bank()
+    names = None
+    if config.names_path and _os.path.exists(config.names_path):
+        with open(config.names_path) as f:
+            names = _json.load(f)
+    results = clf.classify_files(
+        ns.images, k=ns.k, image_root=ns.serve_image_root,
+        num_procs=ns.serve_num_procs,
+    )
+    for path, topk in zip(ns.images, results):
+        print(_json.dumps({
+            "image": path,
+            "topk": [
+                {"wnid": w,
+                 **({"name": names[w]} if names and w in names else {}),
+                 "score": round(s, 4)}
+                for w, s in topk
+            ],
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -114,3 +114,33 @@ def test_classify_files_matches_host_normalized_path(clf, tmp_path):
     want = [clf.tm.hier.names[int(i)] for i in ids[:, 0]]
     got = [row[0][0] for row in out]
     assert got == want
+
+
+def test_serve_cli_json_lines(tmp_path, capsys):
+    """``python -m hgr_tpu.serve`` end-to-end: serving flags parsed here,
+    model flags forwarded to the Config parser, one JSON line per image."""
+    import json
+
+    from PIL import Image
+
+    from hgr_tpu import serve
+
+    rng = np.random.default_rng(21)
+    files = []
+    for i in range(2):
+        p = tmp_path / f"cli{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        ).save(p, quality=90)
+        files.append(str(p))
+
+    serve.main(files + ["--k", "3", "--candidates", "all",
+                        "--synthetic", "True", "--arch", "TEST-RN"])
+    out = capsys.readouterr().out
+    recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert [r["image"] for r in recs] == files
+    for r in recs:
+        assert len(r["topk"]) == 3
+        scores = [t["score"] for t in r["topk"]]
+        assert scores == sorted(scores, reverse=True)
+        assert all(abs(s) <= 1.0 + 1e-4 for s in scores)  # raw cosine
