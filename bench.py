@@ -594,6 +594,30 @@ def _sidecar_load() -> dict:
         return {}
 
 
+# keep-best update groups: the sidecar carries the best measured capability
+# across runs (the same peak semantic as the headline re-measure and the
+# calib max-of-3), so a tunnel-degraded pass must not overwrite a healthy
+# capture. Each group is written atomically from the run that improved its
+# LEADER key, so paired rate/ms (and loader-rate/host_cores) values never
+# mix two runs' tunnel phases.
+_SIDECAR_GROUPS = (
+    ("train_imgs_per_sec_b512", max,
+     ("train_imgs_per_sec_b512", "train_step_ms_b512")),
+    ("train_imgs_per_sec_b1024", max,
+     ("train_imgs_per_sec_b1024", "train_step_ms_b1024", "train_b1024_mode")),
+    ("coop_train_imgs_per_sec", max,
+     ("coop_train_imgs_per_sec", "coop_train_step_ms")),
+    ("vit_b32_eval_imgs_per_sec", max, ("vit_b32_eval_imgs_per_sec",)),
+    ("loader_imgs_per_sec", max,
+     ("loader_imgs_per_sec", "loader_imgs_per_sec_per_core", "host_cores")),
+    ("cached_loader_imgs_per_sec", max, ("cached_loader_imgs_per_sec",)),
+    ("mp_loader_imgs_per_sec", max, ("mp_loader_imgs_per_sec",)),
+    ("decode_cpu_ms_per_img", min, ("decode_cpu_ms_per_img",)),
+    ("e2e_eval_imgs_per_sec", max, ("e2e_eval_imgs_per_sec",)),
+    ("e2e_cached_eval_imgs_per_sec", max, ("e2e_cached_eval_imgs_per_sec",)),
+)
+
+
 def _sidecar_update(out: dict) -> None:
     """Persist freshly measured optional-section values (+ a rolling window
     of decode-cost samples, so the host-feed figure can be reported as the
@@ -601,10 +625,23 @@ def _sidecar_update(out: dict) -> None:
     sc = _sidecar_load()
     now = time.strftime("%Y-%m-%dT%H:%M:%S")
     changed = False
-    for k in SIDECAR_KEYS:
-        if k in out and (sc.get(k, {}).get("value") != out[k]):
-            sc[k] = {"value": out[k], "captured": now}
-            changed = True
+    for leader, better, keys in _SIDECAR_GROUPS:
+        if leader not in out:
+            continue
+        prev = sc.get(leader)
+        prev_v = prev.get("value") if isinstance(prev, dict) else None
+        try:
+            keep_old = (prev_v is not None and prev_v != out[leader]
+                        and better(prev_v, out[leader]) == prev_v)
+        except TypeError:  # corrupted/legacy entry: replace it
+            keep_old = False
+        if keep_old:
+            continue
+        for k in keys:
+            if k in out and (not isinstance(sc.get(k), dict)
+                             or sc[k].get("value") != out[k]):
+                sc[k] = {"value": out[k], "captured": now}
+                changed = True
     hist = sc.get("decode_cpu_ms_per_img_samples", [])
     sample = out.get("decode_cpu_ms_per_img")
     # dedupe consecutive: merge() re-runs on every child, same dict
@@ -844,6 +881,9 @@ def _run_with_watchdog() -> None:
         res, note = _child(["eval"], min(250, left() - 10))
         if res and res.get("eval_imgs_per_sec", 0) > out["eval_imgs_per_sec"]:
             out["eval_imgs_per_sec"] = res["eval_imgs_per_sec"]
+            # re-stamp: the shipped headline now comes from THIS phase, and
+            # SCALING.md's rule pairs sections with calib points by done_s
+            done_s["eval"] = round(time.monotonic() - t_start, 1)
 
     # secondary extras, then the big-compile optional ones with leftover
     retry([s for s in missing(out) if s in ("vit", "pipeline")])

@@ -253,6 +253,48 @@ class TrainFeatureBank:
         return np.concatenate(self.rows, axis=0)
 
 
+def _seen_grouped(train_manifest_path: str, seen) -> dict:
+    """Seen-class slice of a train manifest ({wnid: [paths]}); SystemExit
+    if it contains no images for any seen class (wrong-manifest guard)."""
+    manifest = json.load(open(train_manifest_path))
+    grouped = {c: manifest[c] for c in seen if manifest.get(c)}
+    if not sum(len(p) for p in grouped.values()):
+        raise SystemExit(f"--train_manifest {train_manifest_path}: no "
+                         "images for any seen class")
+    return grouped
+
+
+def _seen_train_loader(grouped_seen, seen, src, batch, seed,
+                       num_threads, num_procs):
+    """Seen-class grouped paths -> FlatTrainLoader whose labels index the
+    ``seen`` ORDER (splits['train']) — the alignment the reference asserts
+    against its train dir (train_resnet_fit.py:43) and that both the
+    clip_flat prompt bank and the refit's frozen pred[seen] rows rely on."""
+    from ..data.pipeline import FlatTrainLoader
+
+    n_items = sum(len(p) for p in grouped_seen.values())
+    return FlatTrainLoader(
+        grouped_seen, {c: i for i, c in enumerate(seen)}, src,
+        max(1, min(batch, n_items)), seed=seed,
+        num_threads=num_threads, num_procs=num_procs,
+    )
+
+
+def _test_grouped(manifest_path: str, rest) -> dict:
+    """Test-class slice of an eval manifest; SystemExit when the manifest
+    shares no classes with splits['rest'] (wrong-manifest guard)."""
+    test_set = set(rest)
+    manifest = json.load(open(manifest_path))
+    grouped = {c: p for c, p in manifest.items() if c in test_set and p}
+    if not grouped:
+        raise SystemExit(
+            f"--manifest {manifest_path}: none of its {len(manifest)} "
+            f"classes are in splits['rest'] ({len(test_set)} wnids) — "
+            "wrong manifest for this split?"
+        )
+    return grouped
+
+
 def run_cnzsl(args, hier, splits, attrs, protos, train_bank=None):
     import jax
     import jax.numpy as jnp
@@ -573,6 +615,11 @@ def main(argv=None):
         hier = Hierarchy.from_json(args.graph_path)
         splits = json.load(open(args.split_path))
 
+    if args.refit_backbone and args.baseline != "gcn":
+        # checked BEFORE the clip_flat dispatch: every baseline must refuse
+        # the flag loudly rather than silently skip the refit
+        raise SystemExit("--refit_backbone is the DGP stage-A' flow "
+                         "(--baseline gcn)")
     if args.baseline == "clip_flat":
         return run_clip_flat(args, hier, splits)
 
@@ -621,6 +668,30 @@ def main(argv=None):
         train_bank = TrainFeatureBank(
             FeatureFile(args.train_feature_file), splits["train"]
         )
+    # cross-flag contracts + manifest sanity validated BEFORE the expensive
+    # stage-A/baseline training: a flag or wrong-manifest mistake must fail
+    # in seconds, not after hours of TPU work
+    refit_grouped_seen = None
+    if args.refit_backbone:
+        if not (args.cnn and args.image_root and args.train_manifest):
+            raise SystemExit("--refit_backbone needs --cnn + --image_root "
+                             "+ --train_manifest (seen-class images)")
+        if args.feature_file:
+            raise SystemExit("--feature_file holds features from the "
+                             "UN-refit backbone; --refit_backbone evaluates "
+                             "through the refit CNN (drop --feature_file)")
+        refit_grouped_seen = _seen_grouped(args.train_manifest,
+                                           splits["train"])
+    eval_grouped = None
+    if args.image_root or args.feature_file:
+        # real-image stage-B evaluation (evaluate_imagenet.py:65-152)
+        if not args.manifest:
+            raise SystemExit("--image_root/--feature_file requires --manifest")
+        if not (args.feature_file or args.cnn):
+            raise SystemExit("--image_root requires --cnn (or use "
+                             "--feature_file)")
+        eval_grouped = _test_grouped(args.manifest, splits["rest"])
+
     runner = {"cnzsl": run_cnzsl, "gcn": run_gcn, "free": run_free}[args.baseline]
     if args.baseline in ("cnzsl", "free"):
         logit_fn = runner(args, hier, splits, attrs, protos,
@@ -633,37 +704,18 @@ def main(argv=None):
         # DGP stage-A' (train_resnet_fit.py:43-101): base retrains under
         # the frozen GCN-predicted fc; stage-B eval must then featurize
         # with the REFIT backbone, so on-the-fly --cnn featurization only
-        if args.baseline != "gcn":
-            raise SystemExit("--refit_backbone is the DGP stage-A' flow "
-                             "(--baseline gcn)")
-        if not (args.cnn and args.image_root and args.train_manifest):
-            raise SystemExit("--refit_backbone needs --cnn + --image_root "
-                             "+ --train_manifest (seen-class images)")
-        if args.feature_file:
-            raise SystemExit("--feature_file holds features from the "
-                             "UN-refit backbone; --refit_backbone evaluates "
-                             "through the refit CNN (drop --feature_file)")
-        from ..data.pipeline import FileImageSource, FlatTrainLoader
+        from ..data.pipeline import FileImageSource
         from .features import load_backbone
         from .refit import refit_backbone
 
         seen = splits["train"]
-        train_manifest = json.load(open(args.train_manifest))
-        grouped_seen = {
-            c: train_manifest[c] for c in seen if train_manifest.get(c)
-        }
-        n_items = sum(len(p) for p in grouped_seen.values())
-        if not n_items:
-            raise SystemExit(f"--train_manifest {args.train_manifest}: no "
-                             "images for any seen class")
         # labels index rows of pred[seen] — the alignment the reference
         # asserts against its train dir (train_resnet_fit.py:43)
         pred_seen = logit_fn.pred[hier.ids(seen)]
-        loader = FlatTrainLoader(
-            grouped_seen, {c: i for i, c in enumerate(seen)},
+        loader = _seen_train_loader(
+            refit_grouped_seen, seen,
             FileImageSource(args.eval_resolution, image_root=args.image_root),
-            max(1, min(args.refit_batch, n_items)), seed=args.seed,
-            num_threads=args.num_threads, num_procs=args.num_procs,
+            args.refit_batch, args.seed, args.num_threads, args.num_procs,
         )
         try:
             refit_params, trlog = refit_backbone(
@@ -699,30 +751,17 @@ def main(argv=None):
         def logit_fn(feats):  # noqa: F811 — deliberate wrap
             return suppress_seen(base_fn(feats), seen_mask)
 
-    if args.image_root or args.feature_file:
-        # real-image stage-B evaluation (evaluate_imagenet.py:65-152)
+    if eval_grouped is not None:
+        # real-image stage-B evaluation (evaluate_imagenet.py:65-152);
+        # flags + manifest already validated before training
         from .features import FeatureFile, load_backbone, make_featurizer
 
-        if not args.manifest:
-            raise SystemExit("--image_root/--feature_file requires --manifest")
-        test_set = set(splits["rest"])
-        manifest = json.load(open(args.manifest))
-        grouped = {
-            c: p for c, p in manifest.items() if c in test_set and p
-        }
-        if not grouped:
-            raise SystemExit(
-                f"--manifest {args.manifest}: none of its {len(manifest)} "
-                f"classes are in splits['rest'] ({len(test_set)} wnids) — "
-                "wrong manifest for this split?"
-            )
+        grouped = eval_grouped
         featurizer = feature_file = None
         if args.feature_file:
             feature_file = FeatureFile(args.feature_file)
         else:
-            if not args.cnn:
-                raise SystemExit("--image_root requires --cnn (or use "
-                                 "--feature_file)")
+            # --cnn presence validated before training
             featurizer = make_featurizer(
                 refit_params if refit_params is not None
                 else load_backbone(args.cnn),
@@ -807,20 +846,13 @@ def run_clip_flat(args, hier, splits):
 
     src = train_loader = None
     if real:
-        from ..data.pipeline import FileImageSource, FlatTrainLoader
+        from ..data.pipeline import FileImageSource
 
         src = FileImageSource(res, image_root=args.image_root)
-        tman = json.load(open(args.train_manifest))
-        grouped_seen = {c: tman[c] for c in seen if tman.get(c)}
-        n_items = sum(len(p) for p in grouped_seen.values())
-        if not n_items:
-            raise SystemExit(f"--train_manifest {args.train_manifest}: no "
-                             "images for any seen class")
         # labels index rows of the seen prompt bank (splits['train'] order)
-        train_loader = FlatTrainLoader(
-            grouped_seen, {c: i for i, c in enumerate(seen)}, src,
-            max(1, min(args.batch, n_items)), seed=args.seed,
-            num_threads=args.num_threads, num_procs=args.num_procs,
+        train_loader = _seen_train_loader(
+            _seen_grouped(args.train_manifest, seen), seen, src,
+            args.batch, args.seed, args.num_threads, args.num_procs,
         )
         batches = iter(train_loader)
 
@@ -859,15 +891,7 @@ def run_clip_flat(args, hier, splits):
     if real:
         from ..data.pipeline import GroupedTestLoader
 
-        test_set = set(splits["rest"])
-        manifest = json.load(open(args.manifest))
-        grouped = {c: p for c, p in manifest.items() if c in test_set and p}
-        if not grouped:
-            raise SystemExit(
-                f"--manifest {args.manifest}: none of its {len(manifest)} "
-                f"classes are in splits['rest'] ({len(test_set)} wnids) — "
-                "wrong manifest for this split?"
-            )
+        grouped = _test_grouped(args.manifest, splits["rest"])
         loader = GroupedTestLoader(
             grouped, {c: hier.name_to_id[c] for c in grouped}, src,
             args.eval_batch, num_threads=args.num_threads,

@@ -390,6 +390,41 @@ def test_refit_backbone_guards(real_image_problem):
             "--cnn", p["cnn"], "--train_manifest", p["train_manifest"],
             "--feature_file", p["features_all"], "--refit_backbone",
         ])
+    # clip_flat must refuse the flag too, not silently skip the refit (its
+    # early dispatch used to bypass the gcn-only guard)
+    with pytest.raises(SystemExit):
+        main([
+            "--baseline", "clip_flat", "--refit_backbone",
+            "--graph_path", p["graph_path"], "--split_path", p["split_path"],
+            "--image_root", p["image_root"],
+            "--train_manifest", p["train_manifest"],
+            "--manifest", p["manifest"], "--synthetic", "False",
+        ])
+
+
+def test_refit_guards_fire_before_training(real_image_problem, monkeypatch):
+    """The refit/eval prerequisite checks must run BEFORE stage-A training
+    — a flag mistake on a 20k-step run has to fail in seconds, not hours."""
+    import hgr_tpu.baselines.run as run_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("stage-A training ran before validation")
+
+    monkeypatch.setattr(run_mod, "run_gcn", boom)
+    monkeypatch.setattr(run_mod, "run_cnzsl", boom)
+    p = real_image_problem
+    with pytest.raises(SystemExit):  # refit without --train_manifest
+        main(_real_args(p) + [
+            "--variant", "basic", "--image_root", p["image_root"],
+            "--cnn", p["cnn"], "--refit_backbone",
+        ])
+    with pytest.raises(SystemExit):  # real eval without --manifest
+        main([
+            "--baseline", "gcn", "--variant", "basic",
+            "--graph_path", p["graph_path"], "--split_path", p["split_path"],
+            "--image_root", p["image_root"], "--cnn", p["cnn"],
+            "--synthetic", "False",
+        ])
 
 
 def test_clip_flat_runner_real_images(real_image_problem):

@@ -246,3 +246,83 @@ def test_sidecar_update_roundtrip(monkeypatch, tmp_path):
     out2 = {}
     bench._sidecar_fill(out2)
     assert "sidecar_filled" not in out2
+
+
+def test_sidecar_update_keeps_best_capture(monkeypatch, tmp_path):
+    """A tunnel-degraded pass must not overwrite a healthy capture: rate
+    keys keep the max (decode ms the min), and paired rate/ms values are
+    written atomically from the SAME run so they never mix tunnel phases."""
+    monkeypatch.setenv("HGR_BENCH_SIDECAR", str(tmp_path / "sc.json"))
+    bench._sidecar_update({
+        "train_imgs_per_sec_b512": 1174.0, "train_step_ms_b512": 436.0,
+        "decode_cpu_ms_per_img": 1.83,
+    })
+    # degraded pass: ~3x slower — the healthy capture must survive
+    bench._sidecar_update({
+        "train_imgs_per_sec_b512": 400.0, "train_step_ms_b512": 1280.0,
+        "decode_cpu_ms_per_img": 3.4,
+    })
+    out = {}
+    bench._sidecar_fill(out)
+    assert out["train_imgs_per_sec_b512"] == 1174.0
+    assert out["train_step_ms_b512"] == 436.0  # pair stays coherent
+    assert out["decode_cpu_ms_per_img"] == 1.83
+    # ...but the degraded decode sample still enters the honest range
+    assert out["decode_cpu_ms_per_img_range"] == [1.83, 3.4]
+
+    # a better pass updates the whole group from the new run
+    bench._sidecar_update({
+        "train_imgs_per_sec_b512": 1200.0, "train_step_ms_b512": 426.0,
+    })
+    out = {}
+    bench._sidecar_fill(out)
+    assert out["train_imgs_per_sec_b512"] == 1200.0
+    assert out["train_step_ms_b512"] == 426.0
+
+    # a legacy/corrupt non-dict entry is replaced, never a crash
+    sc = json.load(open(tmp_path / "sc.json"))
+    sc["coop_train_imgs_per_sec"] = 647.3  # bare number, old format
+    json.dump(sc, open(tmp_path / "sc.json", "w"))
+    bench._sidecar_update({"coop_train_imgs_per_sec": 650.0})
+    out = {}
+    bench._sidecar_fill(out)
+    assert out["coop_train_imgs_per_sec"] == 650.0
+
+
+def test_sidecar_groups_cover_all_keys():
+    """Every SIDECAR_KEYS entry must belong to exactly one update group —
+    a key outside the groups would silently stop persisting."""
+    grouped = [k for _, _, keys in bench._SIDECAR_GROUPS for k in keys]
+    assert sorted(grouped) == sorted(bench.SIDECAR_KEYS)
+
+
+def test_watchdog_remeasure_restamps_headline_phase(monkeypatch, tmp_path):
+    """When the degraded-headline gate keeps a re-measured value, done_s
+    must point at the re-measure's phase — SCALING.md's rule pairs sections
+    with calib points by section_done_s."""
+    res = _full_result()
+    res["eval_imgs_per_sec"] = 502.0
+    seq = [(res, "ok"), ({"eval_imgs_per_sec": 8400.0}, "ok")]
+
+    def child(sections, timeout_s):
+        if seq:
+            return seq.pop(0)
+        return {"calib_tflops": 148.0}, "ok"  # end calib
+
+    # synthetic clock: real fakes return instantly, so genuine stamps all
+    # round to the same 0.1s — advance 0.2s per reading to make "which
+    # phase stamped this" observable
+    t = [0.0]
+
+    def fake_monotonic():
+        t[0] += 0.2
+        return t[0]
+
+    monkeypatch.setattr(bench.time, "monotonic", fake_monotonic)
+    line, _ = _run_watchdog_capture(monkeypatch, child, tmp_path)
+    done = line["extra"]["section_done_s"]
+    # the eval stamp was refreshed strictly AFTER the combined pass's train
+    # stamp — without the re-stamp it would be strictly before (merge's
+    # fallback stamps sections in order)
+    assert done["eval"] > done["train"]
+    assert line["value"] == 8400.0
