@@ -651,9 +651,14 @@ def _sidecar_update(out: dict) -> None:
         )[-_DECODE_SAMPLES_MAX:]
         changed = True
     if changed:
+        # atomic replace: section children get SIGKILLed by the watchdog on
+        # timeout; an in-place write interrupted mid-dump would truncate the
+        # file and wipe the cross-run history the sidecar exists to keep
         try:
-            with open(_sidecar_path(), "w") as f:
+            tmp = _sidecar_path() + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
                 json.dump(sc, f, indent=1, sort_keys=True)
+            os.replace(tmp, _sidecar_path())
         except OSError as e:
             print(f"# sidecar write failed: {e}", flush=True)
 

@@ -255,12 +255,21 @@ class TrainFeatureBank:
 
 def _seen_grouped(train_manifest_path: str, seen) -> dict:
     """Seen-class slice of a train manifest ({wnid: [paths]}); SystemExit
-    if it contains no images for any seen class (wrong-manifest guard)."""
+    if it contains no images for any seen class (wrong-manifest guard), and
+    a loud warning when coverage is partial — the reference asserts FULL
+    seen-class alignment against its train dir (train_resnet_fit.py:43),
+    so silently training on a subset would skew results undetectably."""
     manifest = json.load(open(train_manifest_path))
     grouped = {c: manifest[c] for c in seen if manifest.get(c)}
     if not sum(len(p) for p in grouped.values()):
         raise SystemExit(f"--train_manifest {train_manifest_path}: no "
                          "images for any seen class")
+    if len(grouped) != len(seen):
+        missing = [c for c in seen if not manifest.get(c)]
+        print(f"# WARNING: --train_manifest covers {len(grouped)}/"
+              f"{len(seen)} seen classes; {len(missing)} absent (first 5: "
+              f"{missing[:5]}) — their frozen fc rows train on NO images",
+              flush=True)
     return grouped
 
 
@@ -680,6 +689,9 @@ def main(argv=None):
             raise SystemExit("--feature_file holds features from the "
                              "UN-refit backbone; --refit_backbone evaluates "
                              "through the refit CNN (drop --feature_file)")
+        if args.refit_steps < 1:
+            raise SystemExit(f"--refit_steps {args.refit_steps}: must be "
+                             ">= 1 (drop --refit_backbone to skip stage-A')")
         refit_grouped_seen = _seen_grouped(args.train_manifest,
                                            splits["train"])
     eval_grouped = None

@@ -35,7 +35,7 @@ from ..models.layers import l2_normalize
 from ..parallel.mesh import DATA, MODEL
 from .om import pair_ce_loss, resolve_weight_modes
 from .sampling import PairSchedule
-from .trainer import TrainState
+from .trainer import TrainState, freeze_params
 
 
 def stack_schedules(scheds: List[PairSchedule]) -> Dict[str, np.ndarray]:
@@ -130,11 +130,8 @@ def make_spmd_train_step(
 
     def step(state: TrainState, images, node_tokens, sched):
         def wrapped(params):
-            if frozen:
-                params = dict(params)
-                for k in frozen:
-                    params[k] = jax.lax.stop_gradient(params[k])
-            return mean_loss(params, images, node_tokens, sched)
+            return mean_loss(freeze_params(params, frozen),
+                             images, node_tokens, sched)
 
         loss, grads = jax.value_and_grad(wrapped)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -80,6 +80,21 @@ def sched_to_device(s: PairSchedule) -> Dict[str, jnp.ndarray]:
     }
 
 
+def freeze_params(params: Dict[str, Any], frozen: tuple) -> Dict[str, Any]:
+    """Stop-gradient the ``frozen`` top-level subtrees of a params dict.
+
+    Shared by the single-chip and SPMD step builders so frozen semantics
+    cannot diverge between the two training paths. Load-bearing for CoOp
+    ctx-only training: stop_gradient lets XLA dead-code-eliminate the whole
+    frozen backward (see make_train_step's docstring).
+    """
+    if frozen:
+        params = dict(params)
+        for k in frozen:
+            params[k] = jax.lax.stop_gradient(params[k])
+    return params
+
+
 def make_train_step(
     config: Config,
     clip_cfg: CLIPConfig,
@@ -111,11 +126,8 @@ def make_train_step(
 
     def step(state: TrainState, images, node_tokens, sched):
         def wrapped(params):
-            if frozen:
-                params = dict(params)
-                for k in frozen:
-                    params[k] = jax.lax.stop_gradient(params[k])
-            return loss_fn(params, images, node_tokens, sched)
+            return loss_fn(freeze_params(params, frozen),
+                           images, node_tokens, sched)
 
         loss, grads = jax.value_and_grad(wrapped)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -400,6 +400,38 @@ def test_refit_backbone_guards(real_image_problem):
             "--train_manifest", p["train_manifest"],
             "--manifest", p["manifest"], "--synthetic", "False",
         ])
+    with pytest.raises(SystemExit):  # zero steps: refuse up front, not an
+        main(_real_args(p) + [      # IndexError after hours of stage-A
+            "--variant", "basic", "--image_root", p["image_root"],
+            "--cnn", p["cnn"], "--train_manifest", p["train_manifest"],
+            "--refit_backbone", "--refit_steps", "0",
+        ])
+
+
+def test_seen_grouped_warns_on_partial_manifest(real_image_problem, capsys,
+                                                tmp_path):
+    """A train manifest covering only SOME seen classes must warn loudly —
+    the reference asserts full seen-class alignment (train_resnet_fit.py:43);
+    silently training a subset would skew results undetectably."""
+    import json as _json
+
+    from hgr_tpu.baselines.run import _seen_grouped
+
+    p = real_image_problem
+    manifest = _json.load(open(p["train_manifest"]))
+    seen = sorted(manifest)
+    partial = dict(list(manifest.items())[:-1])  # drop one seen class
+    path = tmp_path / "partial_train.json"
+    path.write_text(_json.dumps(partial))
+
+    grouped = _seen_grouped(str(path), seen)
+    assert len(grouped) == len(seen) - 1
+    out = capsys.readouterr().out
+    assert "WARNING" in out and f"{len(seen) - 1}/{len(seen)}" in out
+
+    # full coverage stays silent
+    _seen_grouped(p["train_manifest"], seen)
+    assert "WARNING" not in capsys.readouterr().out
 
 
 def test_refit_guards_fire_before_training(real_image_problem, monkeypatch):

@@ -289,6 +289,30 @@ def test_sidecar_update_keeps_best_capture(monkeypatch, tmp_path):
     assert out["coop_train_imgs_per_sec"] == 650.0
 
 
+def test_sidecar_write_is_atomic(monkeypatch, tmp_path):
+    """A SIGKILL mid-write (watchdog timeout) must not truncate the sidecar:
+    the update dumps to a temp file and os.replace's it, so a crash at any
+    point leaves the previous complete JSON on disk."""
+    sc_path = tmp_path / "sc.json"
+    monkeypatch.setenv("HGR_BENCH_SIDECAR", str(sc_path))
+    bench._sidecar_update({"coop_train_imgs_per_sec": 650.0})
+    before = sc_path.read_text()
+
+    # simulate the kill landing mid-dump: json.dump writes half then dies
+    def dying_dump(obj, f, **kw):
+        f.write('{"half": ')
+        raise KeyboardInterrupt  # stand-in for SIGKILL at this point
+
+    monkeypatch.setattr(bench.json, "dump", dying_dump)
+    try:
+        bench._sidecar_update({"coop_train_imgs_per_sec": 700.0})
+    except KeyboardInterrupt:
+        pass
+    # the sidecar file is untouched (still the previous complete JSON)
+    assert sc_path.read_text() == before
+    assert json.loads(before)["coop_train_imgs_per_sec"]["value"] == 650.0
+
+
 def test_sidecar_groups_cover_all_keys():
     """Every SIDECAR_KEYS entry must belong to exactly one update group —
     a key outside the groups would silently stop persisting."""
