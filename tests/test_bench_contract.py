@@ -320,6 +320,78 @@ def test_sidecar_groups_cover_all_keys():
     assert sorted(grouped) == sorted(bench.SIDECAR_KEYS)
 
 
+def test_emit_stale_fallback_contract(monkeypatch, tmp_path):
+    """The stale-headline fallback (r05: a 4h+ tunnel outage can span the
+    whole bench budget) fires ONLY on the full-outage signature, only when
+    explicitly enabled, and is loudly marked."""
+    sc = tmp_path / "sc.json"
+    monkeypatch.setenv("HGR_BENCH_SIDECAR", str(sc))
+    json.dump({"headline_eval_imgs_per_sec": {
+        "value": 8400.0, "captured": "2026-08-19T13:00:00"}}, open(sc, "w"))
+
+    def emit(out, **kw):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            bench._emit(dict(out), **kw)
+        return json.loads(buf.getvalue())
+
+    # full-outage signature + fallback enabled -> stale with provenance
+    line = emit({}, stale_from_sidecar=True)
+    assert line["status"] == "stale" and line["value"] == 8400.0
+    assert line["vs_baseline"] == 4.2
+    assert line["extra"]["headline_stale"]["captured"] == "2026-08-19T13:00:00"
+
+    # calib landed but eval didn't -> the eval PATH broke; stays missing
+    line = emit({"calib_tflops": 148.0}, stale_from_sidecar=True)
+    assert line["status"] == "missing" and line["value"] == 0.0
+    line = emit({"calib_tflops_end": 148.0}, stale_from_sidecar=True)
+    assert line["status"] == "missing"
+
+    # children (default flag) never fall back — no laundering path
+    line = emit({})
+    assert line["status"] == "missing" and line["value"] == 0.0
+
+    # a fresh headline always wins; nothing stale-marked
+    line = emit({"eval_imgs_per_sec": 9000.0}, stale_from_sidecar=True)
+    assert line["status"] == "ok" and line["value"] == 9000.0
+    assert "headline_stale" not in line["extra"]
+
+
+def test_sidecar_persists_headline_keep_best(monkeypatch, tmp_path):
+    """A fresh headline seeds the dedicated sidecar key (keep-best), and
+    _sidecar_fill can never promote it into a later run's extras."""
+    monkeypatch.setenv("HGR_BENCH_SIDECAR", str(tmp_path / "sc.json"))
+    bench._sidecar_update({"eval_imgs_per_sec": 8400.0})
+    bench._sidecar_update({"eval_imgs_per_sec": 500.0})  # degraded pass
+    sc = json.load(open(tmp_path / "sc.json"))
+    assert sc["headline_eval_imgs_per_sec"]["value"] == 8400.0
+    out = {}
+    bench._sidecar_fill(out)
+    assert "eval_imgs_per_sec" not in out
+    assert "headline_eval_imgs_per_sec" not in out
+
+
+def test_watchdog_full_outage_emits_stale(monkeypatch, tmp_path):
+    """A run where every child lands nothing (tunnel out for the whole
+    budget) ships the last fresh headline marked stale instead of a 0.0
+    that reads as a capability collapse."""
+    sc = tmp_path / "sidecar.json"
+    json.dump({"headline_eval_imgs_per_sec": {
+        "value": 8123.0, "captured": "2026-08-19T13:00:00"}}, open(sc, "w"))
+
+    def child(sections, timeout_s):
+        return None, "timeout"
+
+    # small budget: the probe-wait loops gate on wall-clock budget left and
+    # would otherwise spin (with a no-op sleep) until real time passes
+    line, _ = _run_watchdog_capture(
+        monkeypatch, child, tmp_path, budget="100",
+        probe=lambda timeout_s=60.0: False,
+    )
+    assert line["status"] == "stale" and line["value"] == 8123.0
+    assert line["extra"]["headline_stale"]["captured"] == "2026-08-19T13:00:00"
+
+
 def test_watchdog_remeasure_restamps_headline_phase(monkeypatch, tmp_path):
     """When the degraded-headline gate keeps a re-measured value, done_s
     must point at the re-measure's phase — SCALING.md's rule pairs sections
